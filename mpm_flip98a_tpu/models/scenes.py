@@ -1,0 +1,161 @@
+"""Scene builders: the reference workloads + the BASELINE.json configs.
+
+- `dam_break_2d`  — the reference's production scene: a 65 x 130 particle
+  lattice filling a 0.057 x 0.114 m fluid column against the left wall of a
+  0.4375 m box (reference: config.py:30-35), 105^2 grid with 4 padding
+  cells (config.py:37-39).
+- `elastic_drop_2d` — mixed-material scene: a neo-Hookean block dropped
+  into the fluid column (BASELINE.json configs[2]).
+- `dam_break_3d`  — 3D free-surface column (BASELINE.json configs[3]).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpm_flip98a_tpu.config import MPMConfig, Physics
+from mpm_flip98a_tpu.models import materials as mat
+from mpm_flip98a_tpu.models.stabilized import Scene, WallBC
+from mpm_flip98a_tpu.state import Particles
+
+
+def _lattice(counts, origin, size, dtype):
+    """counts particles per axis, cell-centered in a box [origin, origin+size)."""
+    axes = [
+        (np.arange(c, dtype=np.float64) + 0.5) * (s / c) + o
+        for c, s, o in zip(counts, size, origin)
+    ]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1).astype(dtype)
+
+
+def dam_break_2d(
+    cfg: Optional[MPMConfig] = None,
+    physics: Physics = Physics(),
+    dtype=np.float64,
+) -> Tuple[Particles, Scene]:
+    """The reference production scene (config.py:30-35): fluid column at the
+    left wall; particle mass/volume from the lattice (config.py:36)."""
+    cfg = cfg or MPMConfig(dtype=np.dtype(dtype).name)
+    x = _lattice(
+        (cfg.num_particles_x, cfg.num_particles_y),
+        (0.0, 0.0),
+        (cfg.fluid_width, cfg.fluid_height),
+        dtype,
+    )
+    p = Particles.init(
+        jnp.asarray(x),
+        volume0=cfg.initial_particle_volume,
+        density=physics.particle_density,
+    )
+    scene = Scene(cfg=cfg, physics=physics, params=mat.MaterialParams(
+        bulk_modulus=physics.bulk_modulus,
+        dynamic_viscosity=physics.dynamic_viscosity,
+    ))
+    return p, scene
+
+
+def elastic_drop_2d(
+    cfg: Optional[MPMConfig] = None,
+    physics: Physics = Physics(),
+    dtype=np.float64,
+    block_frac: float = 0.12,
+    drop_height_frac: float = 0.55,
+) -> Tuple[Particles, Scene]:
+    """Neo-Hookean elastic block dropped into the fluid column
+    (BASELINE.json configs[2] 'multi-material scene')."""
+    cfg = cfg or MPMConfig(dtype=np.dtype(dtype).name)
+    fluid_x = _lattice(
+        (cfg.num_particles_x, cfg.num_particles_y),
+        (0.0, 0.0),
+        (cfg.fluid_width, cfg.fluid_height),
+        dtype,
+    )
+    l = cfg.domain_length
+    side = block_frac * l
+    nb = max(8, int(side / (cfg.fluid_width / cfg.num_particles_x)))
+    block_x = _lattice(
+        (nb, nb),
+        (0.45 * l, drop_height_frac * l),
+        (side, side),
+        dtype,
+    )
+    x = np.concatenate([fluid_x, block_x], axis=0)
+    material = np.concatenate(
+        [
+            np.full(len(fluid_x), mat.WEAKLY_COMPRESSIBLE_FLUID, np.int32),
+            np.full(len(block_x), mat.NEO_HOOKEAN, np.int32),
+        ]
+    )
+    vol_f = cfg.initial_particle_volume
+    vol_b = (side * side) / len(block_x)
+    volume0 = np.concatenate(
+        [np.full(len(fluid_x), vol_f), np.full(len(block_x), vol_b)]
+    ).astype(dtype)
+    rho_block = 400.0  # light elastic block (floats)
+    density = np.concatenate(
+        [
+            np.full(len(fluid_x), physics.particle_density),
+            np.full(len(block_x), rho_block),
+        ]
+    ).astype(dtype)
+    p = Particles.init(
+        jnp.asarray(x),
+        volume0=jnp.asarray(volume0),
+        density=jnp.asarray(density),
+        material=jnp.asarray(material),
+    )
+    # Soft elastic block: E = 5e4 Pa, nu = 0.3.
+    e_block, nu_block = 5e4, 0.3
+    scene = Scene(
+        cfg=cfg,
+        physics=physics,
+        params=mat.MaterialParams(
+            bulk_modulus=physics.bulk_modulus,
+            dynamic_viscosity=physics.dynamic_viscosity,
+            mu=e_block / (2 * (1 + nu_block)),
+            lam=e_block * nu_block / ((1 + nu_block) * (1 - 2 * nu_block)),
+        ),
+        materials_present=(mat.WEAKLY_COMPRESSIBLE_FLUID, mat.NEO_HOOKEAN),
+    )
+    return p, scene
+
+
+def dam_break_3d(
+    num_grids: int = 64,
+    particles_per_axis: Tuple[int, int, int] = (24, 24, 48),
+    physics: Physics = Physics(),
+    dtype=np.float32,
+    dt: float = 1e-5,
+) -> Tuple[Particles, Scene]:
+    """3D free-surface column collapse (BASELINE.json configs[3] scaled by
+    the caller: 256^3 grid / 8M particles uses the same builder)."""
+    cfg = MPMConfig(
+        dim=3,
+        dtype=np.dtype(dtype).name,
+        num_grids=num_grids,
+        dt=dt,
+    )
+    # Column tall along the LAST axis — gravity acts on it
+    # (MPMConfig.gravity_acceleration).
+    l = cfg.domain_length
+    w = 0.25 * l
+    h = 0.5 * l
+    x = _lattice(particles_per_axis, (0.0, 0.0, 0.0), (w, w, h), dtype)
+    vol = (w * h * w) / len(x)
+    p = Particles.init(
+        jnp.asarray(x), volume0=vol, density=physics.particle_density
+    )
+    scene = Scene(
+        cfg=cfg,
+        physics=physics,
+        params=mat.MaterialParams(
+            bulk_modulus=physics.bulk_modulus,
+            dynamic_viscosity=physics.dynamic_viscosity,
+        ),
+        wall=WallBC("slip"),
+    )
+    return p, scene

@@ -180,6 +180,51 @@ def svd(m: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return svd_3d(m)
 
 
+def inv2x2(m: jax.Array) -> jax.Array:
+    """Closed-form inverse of (..., 2, 2)."""
+    d = det2x2(m)
+    inv = jnp.stack(
+        [
+            jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1),
+            jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / d[..., None, None]
+
+
+def inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form adjugate inverse of (..., 3, 3)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d_, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([f * g - d_ * i, a * i - c * g, c * d_ - a * f], axis=-1),
+            jnp.stack([d_ * h - e * g, b * g - a * h, a * e - b * d_], axis=-1),
+        ],
+        axis=-2,
+    )
+    return co / det3x3(m)[..., None, None]
+
+
+def inv(m: jax.Array) -> jax.Array:
+    if m.shape[-1] == 2:
+        return inv2x2(m)
+    if m.shape[-1] == 3:
+        return inv3x3(m)
+    return jnp.linalg.inv(m)
+
+
+def solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a x = b for small d x d systems: (..., d, d) x (..., d).
+
+    Used for the matrix-valued nodal mass of the penalty-EBC grid update
+    (reference: fields.py:28 — 2x2 mass matrix per node)."""
+    return mv(inv(a), b)
+
+
 def outer(a: jax.Array, b: jax.Array) -> jax.Array:
     """Outer product over the trailing axis: (..., d) x (..., d) -> (..., d, d)
     (reference: taichi.h:7643)."""
