@@ -103,6 +103,40 @@ class Scene:
     wall: WallBC = WallBC()
 
 
+@dataclasses.dataclass
+class GridContext:
+    """Where and how grid buffers live for one execution strategy.
+
+    - single chip   : global buffers, identity reduce (the default)
+    - replicated DP : global buffers, reduce = psum over the mesh axis
+                      (parallel/replicated.py)
+    - slab domain decomposition : slab-local buffers; `base_shift` maps
+      global stencil bases into the local buffer, `row_index0` carries the
+      global node row ids for wall masks, and reduce = halo-reduce +
+      halo-gather over ICI (parallel/domain.py)
+
+    The physics below is written once against this context; the strategies
+    only swap buffers and reductions.
+    """
+
+    node_shape: Tuple[int, ...]
+    cell_shape: Tuple[int, ...]
+    base_shift: jax.Array = None   # (dim,) int32 subtracted from global bases
+    row_index0: jax.Array = None   # global node row index of local axis-0 rows
+
+    @staticmethod
+    def single(cfg: MPMConfig) -> "GridContext":
+        return GridContext(
+            node_shape=cfg.grid_shape,
+            cell_shape=(cfg.num_cells,) * cfg.dim,
+        )
+
+    def localize(self, idx: jax.Array) -> jax.Array:
+        if self.base_shift is None:
+            return idx
+        return idx - self.base_shift
+
+
 def _grid_coords(p_x: jax.Array, cfg: MPMConfig):
     """Particle position in grid units including the padding shift."""
     dt = p_x.dtype
@@ -126,18 +160,33 @@ def _cell_index(gx: jax.Array, cfg: MPMConfig) -> jax.Array:
     )
 
 
-def _scatter_cells(values: jax.Array, cell: jax.Array, cfg: MPMConfig) -> jax.Array:
-    """Nearest-cell scatter-add: values (N, c) by cell (N, d) -> (C..., c)."""
-    shape = (cfg.num_cells,) * cfg.dim
+def _flat_cell(cell: jax.Array, shape) -> Tuple[jax.Array, jax.Array]:
+    """Flatten (possibly out-of-bounds) cell indices; returns (flat, mask)."""
+    in_bounds = jnp.all(
+        (cell >= 0) & (cell < jnp.asarray(shape, jnp.int32)[None, :]), axis=-1
+    )
+    cell = jnp.clip(cell, 0, jnp.asarray(shape, jnp.int32) - 1)
     strides = np.concatenate(
         [np.cumprod(np.asarray(shape[1:], np.int64)[::-1])[::-1], [1]]
     ).astype(np.int32)
     flat = jnp.sum(cell * jnp.asarray(strides)[None, :], axis=-1)
+    return flat, in_bounds
+
+
+def _scatter_cells(values: jax.Array, cell: jax.Array, shape) -> jax.Array:
+    """Nearest-cell scatter-add: values (N, c) by cell (N, d) -> (shape, c)."""
+    flat, in_bounds = _flat_cell(cell, shape)
+    values = jnp.where(in_bounds[..., None], values, 0)
     out = jnp.zeros((int(np.prod(shape)), values.shape[-1]), values.dtype)
-    return out.at[flat].add(values).reshape(shape + (values.shape[-1],))
+    return out.at[flat].add(values).reshape(tuple(shape) + (values.shape[-1],))
 
 
-def fbar_jbar(p: Particles, scene: Scene) -> jax.Array:
+def fbar_jbar(
+    p: Particles,
+    scene: Scene,
+    grid_reduce: Callable = None,
+    ctx: "GridContext" = None,
+) -> jax.Array:
     """Cell-averaged volume ratio (overline-F stabilization,
     reference: config.py:19, fields.py:33-36).
 
@@ -145,21 +194,31 @@ def fbar_jbar(p: Particles, scene: Scene) -> jax.Array:
     particle's cell.  Falls back to the particle J where the cell is empty.
     """
     cfg = scene.cfg
+    ctx = ctx or GridContext.single(cfg)
     gx = _grid_coords(p.x, cfg)
-    cell = _cell_index(gx, cfg)
+    cell = ctx.localize(_cell_index(gx, cfg))
     vals = jnp.stack([p.volume0 * p.J, p.volume0], axis=-1)
-    cells = _scatter_cells(vals, cell, cfg)
-    shape = (cfg.num_cells,) * cfg.dim
-    strides = np.concatenate(
-        [np.cumprod(np.asarray(shape[1:], np.int64)[::-1])[::-1], [1]]
-    ).astype(np.int32)
-    flat = jnp.sum(cell * jnp.asarray(strides)[None, :], axis=-1)
-    num = cells.reshape(-1, 2)[flat, 0]
-    den = cells.reshape(-1, 2)[flat, 1]
+    cells = _scatter_cells(vals, cell, ctx.cell_shape)
+    if grid_reduce is not None:
+        cells = grid_reduce(cells)
+    flat, in_bounds = _flat_cell(cell, ctx.cell_shape)
+    num = jnp.where(in_bounds, cells.reshape(-1, 2)[flat, 0], 0.0)
+    den = jnp.where(in_bounds, cells.reshape(-1, 2)[flat, 1], 0.0)
     return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), p.J)
 
 
-def _wall_normal_diag(cfg: MPMConfig, dtype) -> jax.Array:
+def _axis_indices(cfg: MPMConfig, grid_shape, row_index0=None):
+    """Per-axis global node indices of a (possibly slab-local) grid buffer.
+
+    `row_index0` overrides axis 0 with global indices when the grid is a
+    local slab of a domain-decomposed run (parallel/domain.py)."""
+    idx = [jnp.arange(s) for s in grid_shape]
+    if row_index0 is not None:
+        idx[0] = row_index0
+    return idx
+
+
+def _wall_normal_diag(cfg: MPMConfig, dtype, grid_shape=None, row_index0=None) -> jax.Array:
     """sum_walls n (x) n at every node, as its diagonal (axis-aligned walls
     => the penalty matrix is diagonal).  Shape (G..., d).
 
@@ -168,18 +227,21 @@ def _wall_normal_diag(cfg: MPMConfig, dtype) -> jax.Array:
     fields.py:46-51).
     """
     g = cfg.num_grids
+    grid_shape = grid_shape or (g,) * cfg.dim
     lo, hi = int(PAD), g - 1 - int(PAD)
+    axis_idx = _axis_indices(cfg, grid_shape, row_index0)
     diag = []
     for a in range(cfg.dim):
-        idx = jnp.arange(g)
-        on_wall = (idx <= lo) | (idx >= hi)
+        on_wall = (axis_idx[a] <= lo) | (axis_idx[a] >= hi)
         shape = [1] * cfg.dim
-        shape[a] = g
-        diag.append(jnp.broadcast_to(on_wall.reshape(shape), (g,) * cfg.dim))
+        shape[a] = grid_shape[a]
+        diag.append(jnp.broadcast_to(on_wall.reshape(shape), grid_shape))
     return jnp.stack(diag, axis=-1).astype(dtype)
 
 
-def _apply_wall_bc(v: jax.Array, cfg: MPMConfig, wall: WallBC) -> jax.Array:
+def _apply_wall_bc(
+    v: jax.Array, cfg: MPMConfig, wall: WallBC, grid_shape=None, row_index0=None
+) -> jax.Array:
     """Slip/sticky walls on the padded band (non-penalty path).
 
     Nodes at or outside the physical box faces: slip zeroes the inward
@@ -187,13 +249,14 @@ def _apply_wall_bc(v: jax.Array, cfg: MPMConfig, wall: WallBC) -> jax.Array:
     components (the C++ analogue: mls-mpm88-explained.cpp:122-128).
     """
     g = cfg.num_grids
+    grid_shape = grid_shape or (g,) * cfg.dim
     lo, hi = int(PAD), g - 1 - int(PAD)
-    idx = jnp.arange(g)
+    axis_idx = _axis_indices(cfg, grid_shape, row_index0)
     for a in range(cfg.dim):
         shape = [1] * cfg.dim
-        shape[a] = g
-        low_band = (idx <= lo).reshape(shape)
-        high_band = (idx >= hi).reshape(shape)
+        shape[a] = grid_shape[a]
+        low_band = (axis_idx[a] <= lo).reshape(shape)
+        high_band = (axis_idx[a] >= hi).reshape(shape)
         va = v[..., a]
         if wall.kind == "sticky":
             v = jnp.where((low_band | high_band)[..., None], 0.0, v)
@@ -204,18 +267,33 @@ def _apply_wall_bc(v: jax.Array, cfg: MPMConfig, wall: WallBC) -> jax.Array:
     return v
 
 
-def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
+def substep_grid(
+    p: Particles,
+    scene: Scene,
+    grid_reduce: Callable = None,
+    ctx: GridContext = None,
+) -> Tuple[Particles, Grid]:
     """One substep; returns the new particle state and the post-update grid
-    (for diagnostics/rendering — fori_loop callers use `substep`)."""
+    (for diagnostics/rendering — fori_loop callers use `substep`).
+
+    `grid_reduce` is applied to every raw P2G scatter result before it is
+    consumed — identity single-chip, `psum` for replicated particle DP
+    (parallel/replicated.py), halo-reduce+gather for slab decomposition
+    (parallel/domain.py).  `ctx` describes the grid buffers (global vs
+    slab-local)."""
+    if grid_reduce is None:
+        grid_reduce = lambda t: t
     cfg = scene.cfg
+    ctx = ctx or GridContext.single(cfg)
     d = cfg.dim
     dt_ = p.x.dtype
     dt = jnp.asarray(cfg.dt, dt_)
     dx = jnp.asarray(cfg.dx, dt_)
     inv_dx = jnp.asarray(cfg.inv_dx, dt_)
 
-    offsets, base, fx, wst = _weights(_grid_coords(p.x, cfg), cfg)
-    grid_shape = cfg.grid_shape
+    offsets, base_global, fx, wst = _weights(_grid_coords(p.x, cfg), cfg)
+    base = ctx.localize(base_global)
+    grid_shape = ctx.node_shape
 
     # ---- strain rate and pointwise divergence from last step's C ------
     eps = 0.5 * (p.C + mathx.transpose(p.C))
@@ -225,14 +303,14 @@ def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
     # (ProjectionFields fields.py:39-43, volume_grid/pressure_grid
     #  fields.py:29-30.)  Only needed when mixing is on.
     ratio = cfg.pressure_mixing_ratio
-    jbar = fbar_jbar(p, scene) if cfg.use_fbar else p.J
+    jbar = fbar_jbar(p, scene, grid_reduce, ctx) if cfg.use_fbar else p.J
     p_point = mat.fluid_pressure(scene.params, jbar)
     if ratio > 0.0:
         vol_n = p.volume0 * jbar
         proj_vals = wst[..., None] * jnp.stack(
             [vol_n, vol_n * p_point, vol_n * div_point], axis=-1
         )[:, None, :]
-        proj = transfer.p2g_scatter(proj_vals, base, offsets, grid_shape)
+        proj = grid_reduce(transfer.p2g_scatter(proj_vals, base, offsets, grid_shape))
         den = proj[..., 0]
         safe = jnp.where(den > 0, den, 1.0)
         p_grid = jnp.where(den > 0, proj[..., 1] / safe, 0.0)
@@ -285,7 +363,9 @@ def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
         [p.mass[:, None] * ones, (p.volume0 * jbar)[:, None] * ones], axis=-1
     )
     channels = jnp.concatenate([mv_pure, mv_forced, extra], axis=-1)
-    g_out = transfer.p2g_scatter(wst[..., None] * channels, base, offsets, grid_shape)
+    g_out = grid_reduce(
+        transfer.p2g_scatter(wst[..., None] * channels, base, offsets, grid_shape)
+    )
     g_mv0 = g_out[..., 0:d]
     g_mv1 = g_out[..., d : 2 * d]
     g_m = g_out[..., 2 * d]
@@ -302,7 +382,7 @@ def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
         # Matrix nodal mass: A = m I + dt beta sum n(x)n  (diagonal for the
         # axis-aligned box), solved per node (fields.py:28 mass_grid 2x2).
         beta = jnp.asarray(cfg.penalty_parameter(scene.physics), dt_)
-        pen_diag = _wall_normal_diag(cfg, dt_)
+        pen_diag = _wall_normal_diag(cfg, dt_, grid_shape, ctx.row_index0)
         a_mat = g_m[..., None, None] * jnp.eye(d, dtype=dt_) + (
             dt * beta * pen_diag[..., None] * jnp.eye(d, dtype=dt_)
         )
@@ -311,7 +391,7 @@ def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
         )
     else:
         v_new = jnp.where(has_mass[..., None], rhs / safe_m[..., None], 0.0)
-        v_new = _apply_wall_bc(v_new, cfg, scene.wall)
+        v_new = _apply_wall_bc(v_new, cfg, scene.wall, grid_shape, ctx.row_index0)
 
     grid = Grid(
         v=v_new,
@@ -363,7 +443,9 @@ def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
     # Kernel-consistency diagnostics (fields.py:15-18): partition of unity
     # and linear-field reproduction  sum_i w_i x_i - x_p.
     pou = jnp.sum(wst, axis=1)
-    node_pos = (base[:, None, :].astype(dt_) + jnp.asarray(offsets, dt_)[None] - PAD) * dx
+    node_pos = (
+        base_global[:, None, :].astype(dt_) + jnp.asarray(offsets, dt_)[None] - PAD
+    ) * dx
     cons = jnp.einsum("ns,nsa->na", wst, node_pos, precision="highest") - p.x
 
     return (
@@ -387,8 +469,10 @@ def substep_grid(p: Particles, scene: Scene) -> Tuple[Particles, Grid]:
     )
 
 
-def substep(p: Particles, scene: Scene) -> Particles:
-    return substep_grid(p, scene)[0]
+def substep(
+    p: Particles, scene: Scene, grid_reduce: Callable = None, ctx: GridContext = None
+) -> Particles:
+    return substep_grid(p, scene, grid_reduce, ctx)[0]
 
 
 def make_substep(scene: Scene) -> Callable[[Particles], Particles]:
