@@ -1,0 +1,109 @@
+"""Benchmark: particle-grid transfer throughput on the 1M-particle dam-break.
+
+Metric (BASELINE.json): particle-grid transfer ops/sec/chip, where one
+transfer op = one particle-node interaction (stencil size 3^dim) in either
+direction, i.e. per substep N * 3^dim * 2 (P2G + G2P) — the same counting
+used for the reference workload estimate (BASELINE.md, derived row).
+Target: >= 1e9 ops/sec/chip on TPU v5e-1 (vs_baseline = value / 1e9).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+
+Env knobs:
+  BENCH_SMALL=1      tiny CPU-friendly smoke configuration
+  BENCH_SUBSTEPS=n   override timed substeps (default 200)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_workload(small: bool):
+    import jax.numpy as jnp
+
+    from mpm_flip98a_tpu.config import MPMConfig
+    from mpm_flip98a_tpu.models import scenes
+
+    if small:
+        cfg = MPMConfig(
+            dtype="float32",
+            num_grids=65,
+            dt=1e-5,
+            num_particles_x=64,
+            num_particles_y=128,
+            fluid_width=0.105,
+            fluid_height=0.21,
+            flip_blend=0.98,
+        )
+    else:
+        # 1M particles, 512^2-cell grid, 8 particles/cell in the column
+        # (the BASELINE.json 1M-particle dam-break).
+        cfg = MPMConfig(
+            dtype="float32",
+            num_grids=513,
+            dt=2e-6,
+            num_particles_x=500,
+            num_particles_y=2000,
+            fluid_width=0.215,
+            fluid_height=0.430,
+            flip_blend=0.98,
+        )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    return p, scene
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    n_sub = int(os.environ.get("BENCH_SUBSTEPS", "16" if small else "200"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpm_flip98a_tpu.models.stabilized import run
+
+    p, scene = build_workload(small)
+    n = p.n
+    stencil = 3 ** scene.cfg.dim
+
+    # Warmup + compile with the SAME static substep count (a different
+    # n_substeps is a different jit cache entry — warming with another value
+    # would time compilation).  Sync by materialising a scalar on the host:
+    # on remote-dispatch backends `block_until_ready` alone can return
+    # before execution completes.
+    out = run(p, scene, n_sub)
+    float(jnp.sum(out.x))
+
+    t0 = time.perf_counter()
+    out = run(out, scene, n_sub)
+    float(jnp.sum(out.x))
+    elapsed = time.perf_counter() - t0
+
+    assert bool(np.isfinite(np.asarray(out.x)).all()), "non-finite state"
+
+    transfer_ops = n * stencil * 2 * n_sub
+    value = transfer_ops / elapsed
+    result = {
+        "metric": "particle_grid_transfer_ops_per_sec_per_chip",
+        "value": value,
+        "unit": "ops/s",
+        "vs_baseline": value / 1e9,
+        "detail": {
+            "particles": n,
+            "grid": scene.cfg.num_grids,
+            "substeps": n_sub,
+            "elapsed_s": round(elapsed, 4),
+            "substeps_per_s": round(n_sub / elapsed, 2),
+            "wallclock_per_1k_substeps_s": round(1000 * elapsed / n_sub, 3),
+            "backend": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
