@@ -42,15 +42,16 @@ def build_workload(small: bool):
         )
     else:
         # 1M particles, 512^2-cell grid, 8 particles/cell in the column
-        # (the BASELINE.json 1M-particle dam-break).
+        # (the BASELINE.json 1M-particle dam-break).  Wide column: spreads
+        # slot occupancy evenly across row buckets.
         cfg = MPMConfig(
             dtype="float32",
             num_grids=513,
             dt=2e-6,
-            num_particles_x=500,
-            num_particles_y=2000,
-            fluid_width=0.215,
-            fluid_height=0.430,
+            num_particles_x=2000,
+            num_particles_y=500,
+            fluid_width=0.430,
+            fluid_height=0.215,
             flip_blend=0.98,
         )
     p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
@@ -64,26 +65,30 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mpm_flip98a_tpu.models.stabilized import run
+    from mpm_flip98a_tpu.models import fast2d
 
     p, scene = build_workload(small)
     n = p.n
     stencil = 3 ** scene.cfg.dim
+
+    spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=1.5)
+    b = fast2d.from_particles(p, scene.cfg, spec)
 
     # Warmup + compile with the SAME static substep count (a different
     # n_substeps is a different jit cache entry — warming with another value
     # would time compilation).  Sync by materialising a scalar on the host:
     # on remote-dispatch backends `block_until_ready` alone can return
     # before execution completes.
-    out = run(p, scene, n_sub)
-    float(jnp.sum(out.x))
+    b = fast2d.run(b, scene, spec, n_sub)
+    float(jnp.sum(b.x0))
 
     t0 = time.perf_counter()
-    out = run(out, scene, n_sub)
-    float(jnp.sum(out.x))
+    b = fast2d.run(b, scene, spec, n_sub)
+    float(jnp.sum(b.x0))
     elapsed = time.perf_counter() - t0
 
-    assert bool(np.isfinite(np.asarray(out.x)).all()), "non-finite state"
+    assert bool(np.isfinite(np.asarray(b.x0)).all()), "non-finite state"
+    assert int(np.asarray(b.overflow)) == 0, "bucket overflow"
 
     transfer_ops = n * stencil * 2 * n_sub
     value = transfer_ops / elapsed

@@ -1,0 +1,271 @@
+"""Fast 2D fluid solver: the Pallas-kernel production path.
+
+The flagship FLIP98A weakly-compressible free-surface pipeline (APIC
+transfer + FLIP-blend + EOS fluid + slip box) built on the row-bucketed
+Pallas transfer kernels (ops/pallas/transfer2d.py) instead of XLA
+scatter/gather.  Numerics are the same substep as `models/stabilized.py`
+restricted to the fluid feature set — the test suite asserts agreement —
+but the hot loops run as MXU matmuls, ~50x faster than the scatter path at
+1M particles (measured on v5e).
+
+State lives permanently in the bucketed (R, K) slot layout; `rebucket`
+(one XLA sort) runs every `rebucket_every` substeps, which the +-1-row
+kernel margin makes safe for any CFL-respecting dt.
+
+Feature switches covered here: APIC/PIC transfer, FLIP blend alpha,
+linear/Tait EOS, slip/sticky walls.  F-bar, penalty EBC and pressure
+mixing currently use the general XLA path (models/stabilized.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpm_flip98a_tpu.config import EOSKind, MPMConfig, TransferKind
+from mpm_flip98a_tpu.models.stabilized import PAD, Scene, _apply_wall_bc
+from mpm_flip98a_tpu.ops import binning
+from mpm_flip98a_tpu.ops.pallas import transfer2d as tk
+from mpm_flip98a_tpu.state import Particles
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+class FluidBuckets:
+    """Row-bucketed fluid particle state; every field (R, K) f32."""
+
+    x0: jax.Array
+    x1: jax.Array
+    v0: jax.Array
+    v1: jax.Array
+    C00: jax.Array
+    C01: jax.Array
+    C10: jax.Array
+    C11: jax.Array
+    J: jax.Array
+    mass: jax.Array
+    vol0: jax.Array
+    mask: jax.Array      # f32 0/1
+    overflow: jax.Array  # int32 scalar, cumulative rebucket overflow
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.x0.shape
+
+
+@dataclasses.dataclass(frozen=True)
+class FastSpec:
+    """Static fast-path parameters."""
+
+    rows: int          # R = num_grids (one bucket per grid row)
+    capacity: int      # K slots per row (multiple of 128)
+
+    @staticmethod
+    def for_particles(cfg: MPMConfig, p: Particles, headroom: float = 1.5) -> "FastSpec":
+        x = np.asarray(p.x)
+        row = np.floor(x[:, 0] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
+        occ = int(np.bincount(np.clip(row, 0, cfg.num_grids - 1), minlength=cfg.num_grids).max())
+        cap = -(-int(headroom * occ) // 128) * 128
+        cap = max(cap, 128)
+        if cap > 2048:
+            # Kernels chunk the slot axis at 2048 (VMEM weight-matrix cap).
+            cap = -(-cap // 2048) * 2048
+        return FastSpec(rows=cfg.num_grids, capacity=cap)
+
+
+def _field_list(b: FluidBuckets):
+    return (b.x0, b.x1, b.v0, b.v1, b.C00, b.C01, b.C10, b.C11, b.J, b.mass, b.vol0)
+
+
+def rebucket(b: FluidBuckets, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets:
+    """Re-sort slots into their current base-row buckets (one XLA sort)."""
+    r, k = b.shape
+    flat = tuple(f.reshape(-1) for f in _field_list(b))
+    mask = b.mask.reshape(-1) > 0
+    gx0 = flat[0] * cfg.inv_dx + PAD
+    row = jnp.floor(gx0 - 0.5).astype(jnp.int32)
+    fields, new_mask, overflow = binning.bucket_by_row(
+        row, mask, flat, spec.rows, spec.capacity
+    )
+    return FluidBuckets(
+        *fields,
+        mask=new_mask.astype(jnp.float32),
+        overflow=b.overflow + overflow,
+    )
+
+
+def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets:
+    """Dense Particles -> bucketed fast-path state (fp32)."""
+    n = p.n
+    to32 = lambda a: jnp.asarray(a, jnp.float32)
+    x = to32(p.x)
+    gx0 = x[:, 0] * cfg.inv_dx + PAD
+    row = jnp.floor(gx0 - 0.5).astype(jnp.int32)
+    flat = (
+        x[:, 0], x[:, 1],
+        to32(p.v)[:, 0], to32(p.v)[:, 1],
+        to32(p.C)[:, 0, 0], to32(p.C)[:, 0, 1],
+        to32(p.C)[:, 1, 0], to32(p.C)[:, 1, 1],
+        to32(p.J), to32(p.mass), to32(p.volume0),
+    )
+    fields, mask, overflow = binning.bucket_by_row(
+        row, jnp.ones((n,), jnp.bool_), flat, spec.rows, spec.capacity
+    )
+    return FluidBuckets(
+        *fields, mask=mask.astype(jnp.float32), overflow=overflow
+    )
+
+
+def to_host(b: FluidBuckets) -> dict:
+    """Host-side dense view of active slots (diagnostics / IO)."""
+    mask = np.asarray(b.mask) > 0
+    out = {}
+    for name in ("x0", "x1", "v0", "v1", "J", "mass", "vol0"):
+        out[name] = np.asarray(getattr(b, name))[mask]
+    return out
+
+
+def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
+    """One fast substep; numerics mirror models/stabilized.py substep_grid
+    restricted to the fluid feature set."""
+    cfg = scene.cfg
+    assert cfg.dim == 2
+    g = cfg.num_grids
+    dt = jnp.float32(cfg.dt)
+    dx = float(cfg.dx)
+    inv_dx = jnp.float32(cfg.inv_dx)
+    dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    r, k = b.shape
+
+    gx0 = b.x0 * inv_dx + jnp.float32(PAD)
+    gx1 = b.x1 * inv_dx + jnp.float32(PAD)
+
+    # ---- stress (weakly-compressible viscous fluid) -------------------
+    kb = jnp.float32(scene.params.bulk_modulus)
+    mu = jnp.float32(scene.params.dynamic_viscosity)
+    if scene.params.eos == EOSKind.LINEAR:
+        pressure = -kb * (b.J - 1.0)
+    else:
+        gamma = jnp.float32(scene.params.tait_gamma)
+        pressure = (kb / gamma) * ((1.0 / b.J) ** gamma - 1.0)
+    div = b.C00 + b.C11
+    e00 = b.C00 - 0.5 * div
+    e11 = b.C11 - 0.5 * div
+    e01 = 0.5 * (b.C01 + b.C10)
+    vj = b.vol0 * b.J
+    tau00 = vj * (-pressure + 2.0 * mu * e00)
+    tau11 = vj * (-pressure + 2.0 * mu * e11)
+    tau01 = vj * (2.0 * mu * e01)
+
+    fa = -dt * jnp.float32(dinv)
+    if cfg.transfer == TransferKind.APIC:
+        p00, p01, p10, p11 = b.mass * b.C00, b.mass * b.C01, b.mass * b.C10, b.mass * b.C11
+    else:
+        z = jnp.zeros_like(b.C00)
+        p00 = p01 = p10 = p11 = z
+    q00, q01 = p00 + fa * tau00, p01 + fa * tau01
+    q10, q11 = p10 + fa * tau01, p11 + fa * tau11
+
+    m = b.mass * b.mask
+    pdata = jnp.stack(
+        [
+            gx0, gx1,
+            m * b.v0, m * b.v1,
+            p00 * b.mask, p01 * b.mask, p10 * b.mask, p11 * b.mask,
+            q00 * b.mask, q01 * b.mask, q10 * b.mask, q11 * b.mask,
+            m, vj * b.mask,
+        ],
+        axis=1,
+    )  # (R, 14, K)
+
+    # ---- P2G ----------------------------------------------------------
+    gridsum = tk.fold_rows(tk.p2g(pdata, g, dx))  # (6, G, G)
+    g_m = gridsum[4]
+    has = g_m > 0
+    safe = jnp.where(has, g_m, 1.0)
+    v0g = jnp.where(has, gridsum[0:2] / safe, 0.0)      # pre-force
+    grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
+    vng = jnp.where(has, gridsum[2:4] / safe, 0.0)
+    vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
+
+    # Wall BCs operate on the (G, G, 2) trailing layout.
+    v_new = _apply_wall_bc(
+        jnp.moveaxis(vng, 0, -1), cfg, scene.wall
+    )
+    grid4 = jnp.concatenate(
+        [jnp.moveaxis(v_new, -1, 0), v0g], axis=0
+    )  # (4, G, G)
+    grid4 = jnp.moveaxis(grid4, 0, 1)  # (G, 4, G): rows leading for g2p
+
+    # ---- G2P ----------------------------------------------------------
+    pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)  # (R, 3, K)
+    out8 = tk.g2p(pdata2, grid4, dx, dinv)          # (R, 8, K)
+    vpic0, vpic1 = out8[:, 0], out8[:, 1]
+    vold0, vold1 = out8[:, 2], out8[:, 3]
+    c00, c01, c10, c11 = out8[:, 4], out8[:, 5], out8[:, 6], out8[:, 7]
+
+    alpha = jnp.float32(cfg.flip_blend)
+    nv0 = alpha * (b.v0 + vpic0 - vold0) + (1 - alpha) * vpic0
+    nv1 = alpha * (b.v1 + vpic1 - vold1) + (1 - alpha) * vpic1
+
+    div_new = c00 + c11
+    return FluidBuckets(
+        x0=b.x0 + dt * vpic0 * b.mask,
+        x1=b.x1 + dt * vpic1 * b.mask,
+        v0=nv0 * b.mask,
+        v1=nv1 * b.mask,
+        C00=c00, C01=c01, C10=c10, C11=c11,
+        J=jnp.where(b.mask > 0, b.J * (1.0 + dt * div_new), 1.0),
+        mass=b.mass,
+        vol0=b.vol0,
+        mask=b.mask,
+        overflow=b.overflow,
+    )
+
+
+def _needs_rebucket(b: FluidBuckets, cfg: MPMConfig) -> jax.Array:
+    """True when any active slot approaches the kernels' +-1-row margin.
+
+    Post-rebucket every slot has gx0 - 0.5 - bucket_row in [0, 1); the
+    kernels stay exact while it remains in [-1, 2).  Trigger with a 0.2-row
+    safety band so the check (cheap elementwise max, every substep) always
+    fires before the margin is violated."""
+    r, k = b.shape
+    gx0 = b.x0 * jnp.float32(cfg.inv_dx) + jnp.float32(PAD)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0).astype(jnp.float32)
+    d = gx0 - 0.5 - rows
+    d = jnp.where(b.mask > 0, d, 0.5)
+    return jnp.any((d <= -0.8) | (d >= 1.8))
+
+
+@partial(jax.jit, static_argnames=("scene", "spec", "n_substeps"))
+def run(
+    b: FluidBuckets, scene: Scene, spec: FastSpec, n_substeps: int
+) -> FluidBuckets:
+    """Advance n_substeps on-device with adaptive rebucketing.
+
+    Rebucketing is a global sort + scatter pass (~100 ms at 1M particles on
+    v5e) while a substep is ~10 ms, so it runs only when the drift check
+    says the kernel margin is at risk — every few hundred substeps at
+    CFL-respecting dt."""
+
+    def body(_, st):
+        st = jax.lax.cond(
+            _needs_rebucket(st, scene.cfg),
+            lambda s: rebucket(s, scene.cfg, spec),
+            lambda s: s,
+            st,
+        )
+        return substep(st, scene)
+
+    return jax.lax.fori_loop(0, n_substeps, body, b)

@@ -1,0 +1,287 @@
+"""Fused 2D P2G / G2P Pallas TPU kernels over row-bucketed particles.
+
+The reference's hot loops (cpp_validation/mls-mpm88-explained.cpp:53-102
+P2G scatter, :133-179 G2P gather) re-designed as MXU work:
+
+Particles are bucketed by stencil base row (ops/binning.py).  Each Pallas
+program processes one grid row's bucket of K particle slots and expresses
+the column-direction scatter/gather as a one-hot weight matrix product:
+
+  P2G:  out[t, ch, :] = A[t, ch, :] @ W          (K-contraction on the MXU)
+  G2P:  S[:, t, ch]   = W @ grid[t, ch, :]^T
+
+where W[p, c] = column B-spline weight of particle p at grid column c —
+built in VMEM from 3 vectorized compares per stencil tap, never
+materialised in HBM.  The APIC/MLS affine term  Aff (x_node - x_p)  is
+separable per axis, and the column part  (c - gx1) is rank-1, so it folds
+into extra A rows (P2G) / extra `c * grid` channels (G2P) instead of a
+second weight matrix:
+
+  A2 @ (W * (c - gx1)) = (A2 @ W) * c - (A2 * gx1) @ W.
+
+Row direction: a bucketed particle's base row is bucket_row + rel with
+rel in {-1, 0, 1} (the rebucket margin), so its 3 stencil rows land in 5
+candidate target rows t in {-1..3}; the kernel emits all 5 as an expanded
+(R, 5, ch, G) output folded by 5 shifted adds in XLA (`fold_rows`) —
+overlapping output blocks are not expressible in Pallas, and the fold is
+bandwidth-trivial.  G2P reads the 5 overlapping grid rows through 5
+row-block input refs of a padded grid.
+
+Per-substep cost at N = 1M, G = 512, K = 4096: ~250 GFLOP of MXU work and
+zero scatter ops — versus ~330 ms/substep for the XLA scatter path
+(measured), a >20x headroom to the 1e9 transfer-ops/s target.
+
+Channel conventions (flagship weakly-compressible FLIP98A fluid):
+  P2G in  : pdata (R, 14, K) =
+            [gx0, gx1, m v0, m v1, P00, P01, P10, P11,
+             Q00, Q01, Q10, Q11, m, V]
+            P = m C (APIC affine), Q = m C - dt Dinv tau (affine + force);
+            every value row pre-masked (zeros in dead slots).
+  P2G out : (R, 5, 6, G) -> fold_rows -> (6, G, G):
+            [m v0, m v1, m v0 + f0, m v1 + f1, m, V]
+  G2P in  : pdata2 (R, 3, K) = [gx0, gx1, mask];
+            grid (G, G, 4) = [v_new0, v_new1, v00, v01] (rows padded)
+  G2P out : (R, 8, K) = [vpic0, vpic1, v0g0, v0g1, C00, C01, C10, C11]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NT = 5  # candidate target rows: bucket_row - 1 .. bucket_row + 3
+P2G_CH = 6
+P2G_AROWS = 14  # 6 (plain) + 4 (column-linear) + 4 (column-linear * gx1)
+G2P_CH = 4
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _axis_weights(fx):
+    """Quadratic B-spline taps (mls-mpm88-explained.cpp:60-64)."""
+    return (
+        0.5 * (1.5 - fx) ** 2,
+        0.75 - (fx - 1.0) ** 2,
+        0.5 * (fx - 0.5) ** 2,
+    )
+
+
+def _row_weights(rel, w0, valid, t):
+    """Weight this bucket's particles put on target row offset t-1:
+    sum_j [rel + j == t - 1] w0_j, zeroed for out-of-margin slots."""
+    wr = jnp.zeros_like(rel)
+    for j in range(3):
+        wr = wr + jnp.where(rel == float(t - 1 - j), w0[j], 0.0)
+    return wr * valid
+
+
+# ---------------------------------------------------------------------------
+# P2G
+# ---------------------------------------------------------------------------
+
+
+def _p2g_kernel(pdata_ref, out_ref, *, g: int, dx: float):
+    i = pl.program_id(0)
+
+    # K-chunk accumulation: the output block is revisited for every chunk
+    # of the slot axis (grid dim 1); zero it on the first visit.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    pd = pdata_ref[0]  # (14, KC)
+    k = pd.shape[1]
+    gx0, gx1 = pd[0], pd[1]
+
+    base0 = jnp.floor(gx0 - 0.5)
+    rel = base0 - i.astype(jnp.float32)
+    valid = ((rel >= -1.0) & (rel <= 1.0)).astype(jnp.float32)
+    fx0 = gx0 - base0
+    w0 = _axis_weights(fx0)
+
+    base1 = jnp.floor(gx1 - 0.5)
+    fx1 = gx1 - base1
+    w1 = _axis_weights(fx1)
+
+    # Column one-hot weight matrix (K, G).
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, g), 1).astype(jnp.float32)
+    w_mat = jnp.zeros((k, g), jnp.float32)
+    for c in range(3):
+        w_mat = w_mat + jnp.where(cols == base1[:, None] + c, w1[c][:, None], 0.0)
+
+    mv = (pd[2], pd[3])
+    p_aff = (pd[4], pd[5], pd[6], pd[7])   # P00 P01 P10 P11
+    q_aff = (pd[8], pd[9], pd[10], pd[11])
+    mass, vol = pd[12], pd[13]
+
+    rows = []
+    for t in range(NT):
+        wr = _row_weights(rel, w0, valid, t)
+        rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
+        # 6 plain channels.
+        rows.append(wr * (mv[0] + p_aff[0] * rdp))
+        rows.append(wr * (mv[1] + p_aff[2] * rdp))
+        rows.append(wr * (mv[0] + q_aff[0] * rdp))
+        rows.append(wr * (mv[1] + q_aff[2] * rdp))
+        rows.append(wr * mass)
+        rows.append(wr * vol)
+        # 4 column-linear channels (coefficient of (c - gx1) * dx).
+        a2 = (
+            wr * p_aff[1] * dx,
+            wr * p_aff[3] * dx,
+            wr * q_aff[1] * dx,
+            wr * q_aff[3] * dx,
+        )
+        rows.extend(a2)
+        rows.extend(a * gx1 for a in a2)
+
+    a_mat = jnp.stack(rows)  # (5*14, K)
+    o = jnp.dot(a_mat, w_mat, preferred_element_type=jnp.float32)  # (70, G)
+
+    colv = cols[0:1, :]  # (1, G) column index as f32
+    for t in range(NT):
+        b = t * P2G_AROWS
+        for ch in range(P2G_CH):
+            val = o[b + ch : b + ch + 1, :]
+            if ch < 4:
+                val = val + o[b + 6 + ch : b + 7 + ch, :] * colv - o[b + 10 + ch : b + 11 + ch, :]
+            out_ref[0, t, ch, :] += val[0]
+
+
+def _chunk(k: int) -> int:
+    """Slot-axis chunk: caps the in-VMEM weight matrix at ~2048 x G."""
+    return k if k <= 2048 else 2048
+
+
+@functools.partial(jax.jit, static_argnames=("g", "dx"))
+def p2g(pdata: jax.Array, g: int, dx: float) -> jax.Array:
+    """pdata (R, 14, K) -> expanded contributions (R, 5, 6, G)."""
+    r, f, k = pdata.shape
+    assert f == P2G_AROWS
+    kc = _chunk(k)
+    assert k % kc == 0, (k, kc)
+    return pl.pallas_call(
+        functools.partial(_p2g_kernel, g=g, dx=dx),
+        grid=(r, k // kc),
+        in_specs=[
+            pl.BlockSpec((1, f, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NT, P2G_CH, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, NT, P2G_CH, g), jnp.float32),
+        interpret=_interpret(),
+    )(pdata)
+
+
+def fold_rows(expanded: jax.Array) -> jax.Array:
+    """(R, 5, ch, G) -> (ch, G, G): grid[ch, row] = sum_t expanded[row+1-t, t]."""
+    r, nt, ch, g = expanded.shape
+    buf = jnp.zeros((r + nt - 1, ch, g), expanded.dtype)
+    for t in range(nt):
+        buf = buf.at[t : t + r].add(expanded[:, t])
+    return jnp.moveaxis(buf[1 : r + 1], 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# G2P
+# ---------------------------------------------------------------------------
+
+
+def _g2p_kernel(pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float):
+    grid_refs = grid_refs_and_out[:NT]
+    out_ref = grid_refs_and_out[NT]
+    i = pl.program_id(0)
+    pd = pdata_ref[0]  # (3, K)
+    k = pd.shape[1]
+    gx0, gx1, mask = pd[0], pd[1], pd[2]
+
+    base0 = jnp.floor(gx0 - 0.5)
+    rel = base0 - i.astype(jnp.float32)
+    valid = mask * ((rel >= -1.0) & (rel <= 1.0)).astype(jnp.float32)
+    fx0 = gx0 - base0
+    w0 = _axis_weights(fx0)
+    base1 = jnp.floor(gx1 - 0.5)
+    fx1 = gx1 - base1
+    w1 = _axis_weights(fx1)
+
+    # Transposed one-hot weights (G, K): grid columns on sublanes, particle
+    # slots on lanes — the result S then has channels on sublanes, so every
+    # extract below is a cheap row slice (lane slicing would force
+    # relayouts; measured 10x slower).
+    rows_io = jax.lax.broadcasted_iota(jnp.int32, (g, k), 0).astype(jnp.float32)
+    w_t = jnp.zeros((g, k), jnp.float32)
+    for c in range(3):
+        w_t = w_t + jnp.where(rows_io == base1[None, :] + c, w1[c][None, :], 0.0)
+
+    # Grid rows for the 5 candidate targets, channels-leading: each (4, G);
+    # stack plain + column-weighted variants -> (40, G).
+    colv = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1).astype(jnp.float32)
+    gs = []
+    for t in range(NT):
+        gt = grid_refs[t][0]            # (4, G)
+        gs.append(gt)
+        gs.append(gt * colv)
+    gboth = jnp.concatenate(gs, axis=0)  # (5 * 8, G)
+
+    s = jnp.dot(gboth, w_t, preferred_element_type=jnp.float32)  # (40, K)
+
+    vpic = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
+    vold = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
+    c_out = [jnp.zeros((k,), jnp.float32) for _ in range(4)]
+    for t in range(NT):
+        wr = _row_weights(rel, w0, valid, t)
+        rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
+        b = 8 * t
+        for a in range(2):
+            sv = s[b + a]
+            svc = s[b + 4 + a]
+            colg = (svc - gx1 * sv) * dx
+            vpic[a] = vpic[a] + wr * sv
+            vold[a] = vold[a] + wr * s[b + 2 + a]
+            c_out[2 * a] = c_out[2 * a] + dinv * wr * rdp * sv
+            c_out[2 * a + 1] = c_out[2 * a + 1] + dinv * wr * colg
+
+    for ix, vals in enumerate(vpic + vold + c_out):
+        out_ref[0, ix, :] = vals
+
+
+@functools.partial(jax.jit, static_argnames=("dx", "dinv"))
+def g2p(pdata2: jax.Array, grid4: jax.Array, dx: float, dinv: float) -> jax.Array:
+    """pdata2 (R, 3, K), grid4 (R, 4, G) channels-leading -> (R, 8, K).
+
+    grid4 rows are the UNPADDED grid (row r = grid row r); padding to
+    (R+4, 4, G) happens here so the 5 overlapping row windows exist.
+    """
+    r, _, k = pdata2.shape
+    g = grid4.shape[2]
+    kc = _chunk(k)
+    assert k % kc == 0, (k, kc)
+    padded = jnp.zeros((r + NT - 1, G2P_CH, g), grid4.dtype)
+    padded = padded.at[1 : r + 1].set(grid4)
+
+    grid_specs = [
+        pl.BlockSpec(
+            (1, G2P_CH, g), (lambda i, j, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
+        )
+        for t in range(NT)
+    ]
+    return pl.pallas_call(
+        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv),
+        grid=(r, k // kc),
+        in_specs=[
+            pl.BlockSpec((1, 3, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            *grid_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, 8, k), jnp.float32),
+        interpret=_interpret(),
+    )(pdata2, *([padded] * NT))

@@ -1,0 +1,90 @@
+"""Fast Pallas-kernel path vs the general XLA stabilized solver.
+
+The fast path must be the same physics, just faster: fp32 agreement per
+substep and statistically over a collapse.  On CPU the kernels run in
+Pallas interpret mode, so sizes stay small.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.models import fast2d, scenes
+from mpm_flip98a_tpu.models.stabilized import run as run_ref, substep as substep_ref
+
+FAST = MPMConfig(
+    dtype="float32",
+    num_grids=37,
+    dt=2e-5,
+    num_particles_x=16,
+    num_particles_y=32,
+    flip_blend=0.98,
+)
+
+
+def _setup(cfg=FAST):
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, cfg, spec)
+    return p, scene, spec, b
+
+
+def _dense_xy(b):
+    h = fast2d.to_host(b)
+    x = np.stack([h["x0"], h["x1"]], axis=-1)
+    v = np.stack([h["v0"], h["v1"]], axis=-1)
+    order = np.lexsort((x[:, 1], x[:, 0]))
+    return x[order], v[order]
+
+
+def _ref_xy(p):
+    x = np.asarray(p.x)
+    v = np.asarray(p.v)
+    order = np.lexsort((x[:, 1], x[:, 0]))
+    return x[order], v[order]
+
+
+def test_single_substep_matches_stabilized():
+    p, scene, spec, b = _setup()
+    b1 = fast2d.substep(b, scene)
+    p1 = substep_ref(p, scene)
+    (x_f, v_f), (x_r, v_r) = _dense_xy(b1), _ref_xy(p1)
+    assert x_f.shape == x_r.shape
+    np.testing.assert_allclose(x_f, x_r, atol=1e-7)
+    np.testing.assert_allclose(v_f, v_r, atol=1e-4)
+    assert int(b1.overflow) == 0
+
+
+def test_hundred_substeps_track_stabilized():
+    p, scene, spec, b = _setup()
+    b_out = fast2d.run(b, scene, spec, 100)
+    p_out = run_ref(p, scene, 100)
+    (x_f, v_f), (x_r, v_r) = _dense_xy(b_out), _ref_xy(p_out)
+    assert x_f.shape == x_r.shape
+    np.testing.assert_allclose(x_f, x_r, atol=1e-5)
+    assert int(b_out.overflow) == 0
+
+
+def test_long_collapse_stable_and_bounded():
+    cfg = dataclasses.replace(FAST, dt=4e-5)
+    p, scene, spec, b = _setup(cfg)
+    b_out = fast2d.run(b, scene, spec, 1500)
+    h = fast2d.to_host(b_out)
+    x = np.stack([h["x0"], h["x1"]], axis=-1)
+    assert np.isfinite(x).all()
+    assert x.shape[0] == p.n
+    assert (x > -cfg.dx).all() and (x < cfg.domain_length + cfg.dx).all()
+    # Collapse spread, like the reference scene evolution (0.06 s of sim
+    # time — the front has moved ~1/3 of a column width).
+    assert x[:, 0].max() > cfg.fluid_width * 1.25
+    assert int(b_out.overflow) == 0
+
+
+def test_rebucket_preserves_state():
+    p, scene, spec, b = _setup()
+    b1 = fast2d.rebucket(b, scene.cfg, spec)
+    (x0, v0), (x1, v1) = _dense_xy(b), _dense_xy(b1)
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_array_equal(v0, v1)
