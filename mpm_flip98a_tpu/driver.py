@@ -1,0 +1,202 @@
+"""Simulation driver — the TPU build of the reference entry point.
+
+Reference: exec.py — `initialization()`, the outer frame loop with 10,000
+substeps per frame (exec.py:20-26), `progressBar` (:28), `post_process`
+writing movie frames + VTK (:29), and the end-of-run `Run Time` print
+(:31-32).  Here each frame's substeps run on-device in one
+`lax.fori_loop` call (one host round-trip per frame, exactly the
+reference's batching), and post-processing is headless (utils/render,
+utils/io_vtk).
+
+Two execution paths:
+  - "general": models/stabilized.py (any switch combination, 2D/3D, f64)
+  - "fast"   : models/fast2d.py (Pallas kernels; flagship fluid pipeline)
+
+Scenarios: the five BASELINE.json configs are named here.
+
+CLI:  python -m mpm_flip98a_tpu [--scenario dam2d] [--frames 30] ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.models import fast2d, scenes, stabilized
+from mpm_flip98a_tpu.utils import checkpoint as ckpt
+from mpm_flip98a_tpu.utils import io_vtk, render
+from mpm_flip98a_tpu.utils.progress import create_file_paths, progress_bar
+from mpm_flip98a_tpu.utils.timing import Timers, ThroughputMeter, device_sync
+
+
+def reference_scene(dtype=np.float64):
+    """The exact reference workload (config.py:24-46): 8,450 particles,
+    105^2 grid, dt = 1e-6, 10,000 substeps per 1e-2 s frame, 3 s total."""
+    return scenes.dam_break_2d(dtype=dtype)
+
+
+SCENARIOS = {
+    # BASELINE.json configs[0]: the mls-mpm88-matched dam break is exercised
+    # by the test suite (tests/test_mls_mpm_vs_oracle.py); this entry runs
+    # the production-scale equivalent.
+    "dam2d": lambda: reference_scene(),
+    "dam2d_flip98": lambda: scenes.dam_break_2d(
+        dataclasses.replace(MPMConfig(), flip_blend=0.98)
+    ),
+    "elastic_drop": lambda: scenes.elastic_drop_2d(),
+    "dam3d": lambda: scenes.dam_break_3d(),
+}
+
+
+def flip_sweep_scenes(alphas=(0.0, 0.5, 0.95, 0.98, 1.0)):
+    """BASELINE.json configs[1]: PIC/FLIP/APIC blend sweep on the dam-break."""
+    return {
+        f"alpha={a}": scenes.dam_break_2d(
+            dataclasses.replace(MPMConfig(), flip_blend=a)
+        )
+        for a in alphas
+    }
+
+
+class Simulation:
+    """Frame-loop driver around a (particles, scene) pair."""
+
+    def __init__(
+        self,
+        particles,
+        scene,
+        path: str = "general",
+        out_dir: str = "out",
+        tag: Optional[str] = None,
+        render_res: int = 512,
+    ):
+        self.scene = scene
+        self.cfg = scene.cfg
+        self.path = path
+        self.timers = Timers()
+        mix = "mixed" if self.cfg.pressure_mixing_ratio > 0 else "pointwise"
+        self.tag = tag or f"dt{self.cfg.dt:g}_{mix}"
+        self.frame_dir, self.vtk_dir = create_file_paths(self.tag, out_dir)
+        self.render_res = render_res
+        self.frames = []
+        self.total_time = 0.0
+        self.frame_count = 0
+        if path == "fast":
+            self.spec = fast2d.FastSpec.for_particles(self.cfg, particles)
+            self.state = fast2d.from_particles(particles, self.cfg, self.spec)
+        else:
+            self.state = particles
+        self.meter = ThroughputMeter(particles.n, self.cfg.stencil_size)
+
+    # -- state access ----------------------------------------------------
+
+    def positions(self) -> np.ndarray:
+        if self.path == "fast":
+            h = fast2d.to_host(self.state)
+            return np.stack([h["x0"], h["x1"]], axis=-1)
+        return np.asarray(self.state.x)[:, : self.cfg.dim]
+
+    # -- stepping --------------------------------------------------------
+
+    def step_frame(self, n_substeps: Optional[int] = None) -> None:
+        n = n_substeps or self.cfg.substeps_per_frame
+        t0 = time.perf_counter()
+        with self.timers.scope("substeps", sync=None):
+            if self.path == "fast":
+                self.state = fast2d.run(self.state, self.scene, self.spec, n)
+            else:
+                self.state = stabilized.run(self.state, self.scene, n)
+            device_sync(self.state)
+        self.meter.update(n, time.perf_counter() - t0)
+        self.total_time += n * self.cfg.dt
+        self.frame_count += 1
+
+    def post_process(self, write_vtk: bool = True, keep_frame: bool = True) -> None:
+        """Render + export the current frame (exec.py:29 equivalent)."""
+        with self.timers.scope("post_process"):
+            x = self.positions()
+            img = render.rasterize(
+                x[:, :2], res=self.render_res, extent=self.cfg.domain_length
+            )
+            render.write_png(img, f"{self.frame_dir}/{self.frame_count:05d}.png")
+            if keep_frame:
+                self.frames.append(img)
+            if write_vtk:
+                io_vtk.write_vtk_particles(
+                    f"{self.vtk_dir}/{self.frame_count:05d}.vtk", x
+                )
+
+    def save_checkpoint(self, path: str) -> None:
+        ckpt.save(
+            path,
+            self.state,
+            meta={
+                "total_time": self.total_time,
+                "frame_count": self.frame_count,
+                "path": self.path,
+            },
+        )
+
+    def restore_checkpoint(self, path: str) -> None:
+        state_type = fast2d.FluidBuckets if self.path == "fast" else type(self.state)
+        self.state = ckpt.load(path, state_type)
+        meta = ckpt.load_meta(path)
+        self.total_time = meta["total_time"]
+        self.frame_count = meta["frame_count"]
+
+    def run(
+        self,
+        n_frames: Optional[int] = None,
+        substeps_per_frame: Optional[int] = None,
+        gif: bool = True,
+        verbose: bool = True,
+    ) -> None:
+        """The reference outer loop (exec.py:20-29) + Run Time print (:31)."""
+        n_frames = n_frames or self.cfg.num_frames
+        t_begin = time.time()
+        sim_total = n_frames * (substeps_per_frame or self.cfg.substeps_per_frame) * self.cfg.dt
+        for _ in range(n_frames):
+            self.step_frame(substeps_per_frame)
+            if verbose:
+                progress_bar(
+                    self.total_time,
+                    sim_total,
+                    extra=f"{self.meter.substeps_per_sec:.0f} sub/s",
+                )
+            self.post_process()
+        if gif and self.frames:
+            render.write_gif(self.frames, f"{self.frame_dir}/output.gif")
+        if verbose:
+            print("Run Time:", time.time() - t_begin)  # exec.py:31-32
+            print(self.timers.summary())
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="TPU-native MPM driver")
+    ap.add_argument("--scenario", default="dam2d_flip98", choices=sorted(SCENARIOS))
+    ap.add_argument("--path", default="general", choices=["general", "fast"])
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--substeps", type=int, default=None)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--resume", default=None, help="checkpoint to restore")
+    ap.add_argument("--checkpoint", default=None, help="write checkpoint at end")
+    ap.add_argument("--no-gif", action="store_true")
+    args = ap.parse_args(argv)
+
+    p, scene = SCENARIOS[args.scenario]()
+    sim = Simulation(p, scene, path=args.path, out_dir=args.out)
+    if args.resume:
+        sim.restore_checkpoint(args.resume)
+    sim.run(n_frames=args.frames, substeps_per_frame=args.substeps, gif=not args.no_gif)
+    if args.checkpoint:
+        sim.save_checkpoint(args.checkpoint)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Utilities + driver: rendering, VTK, checkpoint round-trip, frame loop."""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.models import fast2d, scenes
+from mpm_flip98a_tpu.driver import Simulation, flip_sweep_scenes
+from mpm_flip98a_tpu.state import Particles
+from mpm_flip98a_tpu.utils import checkpoint as ckpt
+from mpm_flip98a_tpu.utils import io_vtk, render
+
+FAST = MPMConfig(num_grids=37, dt=2e-5, num_particles_x=16, num_particles_y=32)
+
+
+def test_rasterize_and_png(tmp_path):
+    x = np.array([[0.1, 0.1], [0.3, 0.35]])
+    img = render.rasterize(x, res=64, extent=0.4375)
+    assert img.shape == (64, 64, 3)
+    # Background everywhere except near the particles.
+    assert (img == render._hex_rgb(render.BG_COLOR)).all(axis=-1).sum() > 64 * 64 - 60
+    render.write_png(img, str(tmp_path / "f.png"))
+    assert os.path.getsize(tmp_path / "f.png") > 0
+    render.write_gif([img, img], str(tmp_path / "o.gif"))
+    assert os.path.getsize(tmp_path / "o.gif") > 0
+
+
+def test_vtk_round_trip(tmp_path):
+    x = np.random.default_rng(0).random((50, 2))
+    path = str(tmp_path / "p.vtk")
+    io_vtk.write_vtk_particles(
+        path, x, scalars={"pressure": np.arange(50.0)}, vectors={"v": x * 2}
+    )
+    back = io_vtk.read_vtk_points(path)
+    np.testing.assert_allclose(back[:, :2], x, rtol=1e-7)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    p, scene = scenes.dam_break_2d(FAST)
+    path = str(tmp_path / "state.npz")
+    ckpt.save(path, p, meta={"total_time": 1.5})
+    q = ckpt.load(path, Particles)
+    np.testing.assert_array_equal(np.asarray(p.x), np.asarray(q.x))
+    assert ckpt.load_meta(path)["total_time"] == 1.5
+
+
+def test_driver_frame_loop_and_resume(tmp_path):
+    p, scene = scenes.dam_break_2d(FAST)
+    sim = Simulation(p, scene, out_dir=str(tmp_path))
+    sim.run(n_frames=2, substeps_per_frame=10, gif=True, verbose=False)
+    assert sim.frame_count == 2
+    assert os.path.exists(f"{sim.frame_dir}/00002.png")
+    assert os.path.exists(f"{sim.vtk_dir}/00002.vtk")
+    assert os.path.exists(f"{sim.frame_dir}/output.gif")
+
+    ck = str(tmp_path / "ck.npz")
+    sim.save_checkpoint(ck)
+    sim2 = Simulation(p, scene, out_dir=str(tmp_path / "resumed"))
+    sim2.restore_checkpoint(ck)
+    assert sim2.frame_count == 2
+    np.testing.assert_array_equal(sim2.positions(), sim.positions())
+
+
+def test_driver_fast_path(tmp_path):
+    cfg = dataclasses.replace(FAST, dtype="float32", flip_blend=0.98)
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    sim = Simulation(p, scene, path="fast", out_dir=str(tmp_path))
+    sim.run(n_frames=1, substeps_per_frame=10, gif=False, verbose=False)
+    x = sim.positions()
+    assert x.shape == (p.n, 2) and np.isfinite(x).all()
+
+
+def test_flip_sweep_scenarios():
+    sweep = flip_sweep_scenes()
+    assert set(a.split("=")[1] for a in sweep) == {"0.0", "0.5", "0.95", "0.98", "1.0"}
+    for name, (p, scene) in sweep.items():
+        assert p.n == 8450
