@@ -78,8 +78,10 @@ class FastSpec:
         cap = -(-int(headroom * occ) // 128) * 128
         cap = max(cap, 128)
         if cap > 2048:
-            # Kernels chunk the slot axis at 2048 (VMEM weight-matrix cap).
-            cap = -(-cap // 2048) * 2048
+            # Kernels split the slot axis into ceil(cap/2048) equal chunks
+            # (VMEM weight-matrix cap) — capacity must divide evenly.
+            nc = -(-cap // 2048)
+            cap = -(-cap // (128 * nc)) * (128 * nc)
         return FastSpec(rows=cfg.num_grids, capacity=cap)
 
 
@@ -188,8 +190,11 @@ def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
         axis=1,
     )  # (R, 14, K)
 
+    # Packed-bucket row counts drive chunk skipping in the kernels.
+    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
+
     # ---- P2G ----------------------------------------------------------
-    gridsum = tk.fold_rows(tk.p2g(pdata, g, dx))  # (6, G, G)
+    gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx))  # (6, G, G)
     g_m = gridsum[4]
     has = g_m > 0
     safe = jnp.where(has, g_m, 1.0)
@@ -208,8 +213,8 @@ def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
     grid4 = jnp.moveaxis(grid4, 0, 1)  # (G, 4, G): rows leading for g2p
 
     # ---- G2P ----------------------------------------------------------
-    pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)  # (R, 3, K)
-    out8 = tk.g2p(pdata2, grid4, dx, dinv)          # (R, 8, K)
+    pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)   # (R, 3, K)
+    out8 = tk.g2p(pdata2, counts, grid4, dx, dinv)   # (R, 8, K)
     vpic0, vpic1 = out8[:, 0], out8[:, 1]
     vold0, vold1 = out8[:, 2], out8[:, 3]
     c00, c01, c10, c11 = out8[:, 4], out8[:, 5], out8[:, 6], out8[:, 7]

@@ -86,15 +86,25 @@ def _row_weights(rel, w0, valid, t):
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(pdata_ref, out_ref, *, g: int, dx: float):
+def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int):
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
     # K-chunk accumulation: the output block is revisited for every chunk
     # of the slot axis (grid dim 1); zero it on the first visit.
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(j == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # Buckets are packed (actives first), so a chunk past the row's count
+    # holds only dead slots — skip its entire body.  Empty grid rows and
+    # sparse buckets then cost one predicate each.
+    @pl.when(j * kc < counts_ref[i])
+    def _body():
+        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx)
+
+
+def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float):
     pd = pdata_ref[0]  # (14, KC)
     k = pd.shape[1]
     gx0, gx1 = pd[0], pd[1]
@@ -155,29 +165,35 @@ def _p2g_kernel(pdata_ref, out_ref, *, g: int, dx: float):
 
 
 def _chunk(k: int) -> int:
-    """Slot-axis chunk: caps the in-VMEM weight matrix at ~2048 x G."""
-    return k if k <= 2048 else 2048
+    """Slot-axis chunk: caps the in-VMEM weight matrix at ~2048 x G.
+    K must be a multiple of 128 * ceil(K / 2048) (FastSpec guarantees it)."""
+    nc = -(-k // 2048)
+    assert k % nc == 0, k
+    return k // nc
 
 
 @functools.partial(jax.jit, static_argnames=("g", "dx"))
-def p2g(pdata: jax.Array, g: int, dx: float) -> jax.Array:
-    """pdata (R, 14, K) -> expanded contributions (R, 5, 6, G)."""
+def p2g(pdata: jax.Array, counts: jax.Array, g: int, dx: float) -> jax.Array:
+    """pdata (R, 14, K), counts (R,) int32 -> contributions (R, 5, 6, G)."""
     r, f, k = pdata.shape
     assert f == P2G_AROWS
     kc = _chunk(k)
-    assert k % kc == 0, (k, kc)
-    return pl.pallas_call(
-        functools.partial(_p2g_kernel, g=g, dx=dx),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(r, k // kc),
         in_specs=[
-            pl.BlockSpec((1, f, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, f, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, NT, P2G_CH, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, NT, P2G_CH, g), lambda i, j, c: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, NT, P2G_CH, g), jnp.float32),
         interpret=_interpret(),
-    )(pdata)
+    )(counts, pdata)
 
 
 def fold_rows(expanded: jax.Array) -> jax.Array:
@@ -194,10 +210,25 @@ def fold_rows(expanded: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _g2p_kernel(pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float):
-    grid_refs = grid_refs_and_out[:NT]
+def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float, kc: int):
     out_ref = grid_refs_and_out[NT]
     i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # Skipped chunks (past the row's packed count) must still define their
+    # output block — zero it; the substep masks dead slots anyway.
+    @pl.when(j * kc >= counts_ref[i])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(j * kc < counts_ref[i])
+    def _body():
+        _g2p_chunk(pdata_ref, grid_refs_and_out, i, g=g, dx=dx, dinv=dinv)
+
+
+def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: float):
+    grid_refs = grid_refs_and_out[:NT]
+    out_ref = grid_refs_and_out[NT]
     pd = pdata_ref[0]  # (3, K)
     k = pd.shape[1]
     gx0, gx1, mask = pd[0], pd[1], pd[2]
@@ -253,8 +284,11 @@ def _g2p_kernel(pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float):
 
 
 @functools.partial(jax.jit, static_argnames=("dx", "dinv"))
-def g2p(pdata2: jax.Array, grid4: jax.Array, dx: float, dinv: float) -> jax.Array:
-    """pdata2 (R, 3, K), grid4 (R, 4, G) channels-leading -> (R, 8, K).
+def g2p(
+    pdata2: jax.Array, counts: jax.Array, grid4: jax.Array, dx: float, dinv: float
+) -> jax.Array:
+    """pdata2 (R, 3, K), counts (R,) int32, grid4 (R, 4, G) channels-leading
+    -> (R, 8, K).
 
     grid4 rows are the UNPADDED grid (row r = grid row r); padding to
     (R+4, 4, G) happens here so the 5 overlapping row windows exist.
@@ -262,26 +296,29 @@ def g2p(pdata2: jax.Array, grid4: jax.Array, dx: float, dinv: float) -> jax.Arra
     r, _, k = pdata2.shape
     g = grid4.shape[2]
     kc = _chunk(k)
-    assert k % kc == 0, (k, kc)
     padded = jnp.zeros((r + NT - 1, G2P_CH, g), grid4.dtype)
     padded = padded.at[1 : r + 1].set(grid4)
 
     grid_specs = [
         pl.BlockSpec(
-            (1, G2P_CH, g), (lambda i, j, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
+            (1, G2P_CH, g), (lambda i, j, c, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
         )
         for t in range(NT)
     ]
-    return pl.pallas_call(
-        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(r, k // kc),
         in_specs=[
-            pl.BlockSpec((1, 3, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM),
             *grid_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, 8, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, 8, k), jnp.float32),
         interpret=_interpret(),
-    )(pdata2, *([padded] * NT))
+    )(counts, pdata2, *([padded] * NT))
