@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from mpm_flip98a_tpu.config import EOSKind, MPMConfig, TransferKind
+from mpm_flip98a_tpu.models import materials as mat
 from mpm_flip98a_tpu.models.stabilized import PAD, Scene, _apply_wall_bc
 from mpm_flip98a_tpu.ops import binning
 from mpm_flip98a_tpu.ops.pallas import transfer2d as tk
@@ -42,7 +43,11 @@ def _pytree_dataclass(cls):
 
 @_pytree_dataclass
 class FluidBuckets:
-    """Row-bucketed fluid particle state; every field (R, K) f32."""
+    """Row-bucketed particle state; every field (R, K) f32 (mat: int32).
+
+    Carries the deformation gradient and a material id so solid materials
+    (neo-Hookean / fixed corotated) run through the same fast kernels as
+    the fluid — the kernels only ever see the assembled affine channels."""
 
     x0: jax.Array
     x1: jax.Array
@@ -52,9 +57,14 @@ class FluidBuckets:
     C01: jax.Array
     C10: jax.Array
     C11: jax.Array
+    F00: jax.Array
+    F01: jax.Array
+    F10: jax.Array
+    F11: jax.Array
     J: jax.Array
     mass: jax.Array
     vol0: jax.Array
+    mat: jax.Array       # int32 material id (models/materials.py)
     mask: jax.Array      # f32 0/1
     overflow: jax.Array  # int32 scalar, cumulative rebucket overflow
 
@@ -86,7 +96,12 @@ class FastSpec:
 
 
 def _field_list(b: FluidBuckets):
-    return (b.x0, b.x1, b.v0, b.v1, b.C00, b.C01, b.C10, b.C11, b.J, b.mass, b.vol0)
+    return (
+        b.x0, b.x1, b.v0, b.v1,
+        b.C00, b.C01, b.C10, b.C11,
+        b.F00, b.F01, b.F10, b.F11,
+        b.J, b.mass, b.vol0, b.mat,
+    )
 
 
 def rebucket(b: FluidBuckets, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets:
@@ -118,7 +133,10 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets
         to32(p.v)[:, 0], to32(p.v)[:, 1],
         to32(p.C)[:, 0, 0], to32(p.C)[:, 0, 1],
         to32(p.C)[:, 1, 0], to32(p.C)[:, 1, 1],
+        to32(p.F)[:, 0, 0], to32(p.F)[:, 0, 1],
+        to32(p.F)[:, 1, 0], to32(p.F)[:, 1, 1],
         to32(p.J), to32(p.mass), to32(p.volume0),
+        p.material.astype(jnp.int32),
     )
     fields, mask, overflow = binning.bucket_by_row(
         row, jnp.ones((n,), jnp.bool_), flat, spec.rows, spec.capacity
@@ -132,7 +150,7 @@ def to_host(b: FluidBuckets) -> dict:
     """Host-side dense view of active slots (diagnostics / IO)."""
     mask = np.asarray(b.mask) > 0
     out = {}
-    for name in ("x0", "x1", "v0", "v1", "J", "mass", "vol0"):
+    for name in ("x0", "x1", "v0", "v1", "J", "mass", "vol0", "mat"):
         out[name] = np.asarray(getattr(b, name))[mask]
     return out
 
@@ -152,22 +170,63 @@ def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
     gx0 = b.x0 * inv_dx + jnp.float32(PAD)
     gx1 = b.x1 * inv_dx + jnp.float32(PAD)
 
-    # ---- stress (weakly-compressible viscous fluid) -------------------
-    kb = jnp.float32(scene.params.bulk_modulus)
-    mu = jnp.float32(scene.params.dynamic_viscosity)
-    if scene.params.eos == EOSKind.LINEAR:
-        pressure = -kb * (b.J - 1.0)
-    else:
-        gamma = jnp.float32(scene.params.tait_gamma)
-        pressure = (kb / gamma) * ((1.0 / b.J) ** gamma - 1.0)
-    div = b.C00 + b.C11
-    e00 = b.C00 - 0.5 * div
-    e11 = b.C11 - 0.5 * div
-    e01 = 0.5 * (b.C01 + b.C10)
+    # ---- stress: component-form material dispatch ----------------------
+    # Same models as models/materials.py, written on (R, K) component
+    # arrays (building (R, K, 2, 2) temporaries would tile terribly).
     vj = b.vol0 * b.J
-    tau00 = vj * (-pressure + 2.0 * mu * e00)
-    tau11 = vj * (-pressure + 2.0 * mu * e11)
-    tau01 = vj * (2.0 * mu * e01)
+    tau00 = jnp.zeros_like(b.J)
+    tau01 = jnp.zeros_like(b.J)
+    tau10 = jnp.zeros_like(b.J)
+    tau11 = jnp.zeros_like(b.J)
+    for mid in scene.materials_present:
+        if mid == mat.WEAKLY_COMPRESSIBLE_FLUID:
+            kb = jnp.float32(scene.params.bulk_modulus)
+            mu = jnp.float32(scene.params.dynamic_viscosity)
+            if scene.params.eos == EOSKind.LINEAR:
+                pressure = -kb * (b.J - 1.0)
+            else:
+                gamma = jnp.float32(scene.params.tait_gamma)
+                pressure = (kb / gamma) * ((1.0 / b.J) ** gamma - 1.0)
+            div = b.C00 + b.C11
+            t00 = vj * (-pressure + 2.0 * mu * (b.C00 - 0.5 * div))
+            t11 = vj * (-pressure + 2.0 * mu * (b.C11 - 0.5 * div))
+            t01 = vj * (2.0 * mu * 0.5 * (b.C01 + b.C10))
+            t10 = t01
+        elif mid == mat.NEO_HOOKEAN:
+            # tau = V0 (mu_s (F F^T - I) + lam_s log(Jf) I)
+            mu_s = jnp.float32(scene.params.mu)
+            lam_s = jnp.float32(scene.params.lam)
+            jf = jnp.maximum(
+                b.F00 * b.F11 - b.F01 * b.F10, jnp.float32(1e-6)
+            )
+            lj = lam_s * jnp.log(jf)
+            t00 = b.vol0 * (mu_s * (b.F00**2 + b.F01**2 - 1.0) + lj)
+            t11 = b.vol0 * (mu_s * (b.F10**2 + b.F11**2 - 1.0) + lj)
+            t01 = b.vol0 * mu_s * (b.F00 * b.F10 + b.F01 * b.F11)
+            t10 = t01
+        else:  # FIXED_COROTATED: V0 (2 mu (F - R) F^T + lam (Jf - 1) Jf I)
+            mu_s = jnp.float32(scene.params.mu)
+            lam_s = jnp.float32(scene.params.lam)
+            jf = b.F00 * b.F11 - b.F01 * b.F10
+            px = b.F00 + b.F11
+            py = b.F10 - b.F01
+            sc = 1.0 / jnp.sqrt(px * px + py * py)
+            rc, rs = px * sc, py * sc
+            d00, d01 = b.F00 - rc, b.F01 + rs
+            d10, d11 = b.F10 - rs, b.F11 - rc
+            lj = lam_s * (jf - 1.0) * jf
+            t00 = b.vol0 * (2 * mu_s * (d00 * b.F00 + d01 * b.F01) + lj)
+            t01 = b.vol0 * (2 * mu_s * (d00 * b.F10 + d01 * b.F11))
+            t10 = b.vol0 * (2 * mu_s * (d10 * b.F00 + d11 * b.F01))
+            t11 = b.vol0 * (2 * mu_s * (d10 * b.F10 + d11 * b.F11) + lj)
+        if len(scene.materials_present) == 1:
+            tau00, tau01, tau10, tau11 = t00, t01, t10, t11
+        else:
+            sel = b.mat == mid
+            tau00 = jnp.where(sel, t00, tau00)
+            tau01 = jnp.where(sel, t01, tau01)
+            tau10 = jnp.where(sel, t10, tau10)
+            tau11 = jnp.where(sel, t11, tau11)
 
     fa = -dt * jnp.float32(dinv)
     if cfg.transfer == TransferKind.APIC:
@@ -176,7 +235,7 @@ def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
         z = jnp.zeros_like(b.C00)
         p00 = p01 = p10 = p11 = z
     q00, q01 = p00 + fa * tau00, p01 + fa * tau01
-    q10, q11 = p10 + fa * tau01, p11 + fa * tau11
+    q10, q11 = p10 + fa * tau10, p11 + fa * tau11
 
     m = b.mass * b.mask
     pdata = jnp.stack(
@@ -224,15 +283,22 @@ def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
     nv1 = alpha * (b.v1 + vpic1 - vold1) + (1 - alpha) * vpic1
 
     div_new = c00 + c11
+    # F <- (I + dt C) F, component form (mls-mpm88-explained.cpp:162).
+    f00 = (1 + dt * c00) * b.F00 + dt * c01 * b.F10
+    f01 = (1 + dt * c00) * b.F01 + dt * c01 * b.F11
+    f10 = dt * c10 * b.F00 + (1 + dt * c11) * b.F10
+    f11 = dt * c10 * b.F01 + (1 + dt * c11) * b.F11
     return FluidBuckets(
         x0=b.x0 + dt * vpic0 * b.mask,
         x1=b.x1 + dt * vpic1 * b.mask,
         v0=nv0 * b.mask,
         v1=nv1 * b.mask,
         C00=c00, C01=c01, C10=c10, C11=c11,
+        F00=f00, F01=f01, F10=f10, F11=f11,
         J=jnp.where(b.mask > 0, b.J * (1.0 + dt * div_new), 1.0),
         mass=b.mass,
         vol0=b.vol0,
+        mat=b.mat,
         mask=b.mask,
         overflow=b.overflow,
     )

@@ -433,12 +433,13 @@ def substep_grid(
 
     x_new = p.x + dt * v_pic
     f_new = mathx.mm(jnp.eye(d, dtype=dt_)[None] + dt * c_new, p.F)
-    # J via the (mixed) divergence rate — the stabilized volumetric update.
+    # J via the divergence rate — the stabilized volumetric update.  With
+    # pressure mixing on, the grid-projected (smoothed) divergence drives J
+    # with a one-substep lag (div_used comes from the pre-update C): the
+    # standard explicit treatment; otherwise the fresh pointwise trace.
     div_new = mathx.trace(c_new)
-    r = jnp.asarray(ratio, dt_)
-    # Note div_used was computed from the PREVIOUS C; the fresh pointwise
-    # divergence is div_new.  Blend consistently with the mixing switch.
-    j_new = p.J * (1.0 + dt * div_new)
+    div_for_j = div_used if ratio > 0.0 else div_new
+    j_new = p.J * (1.0 + dt * div_for_j)
 
     # Kernel-consistency diagnostics (fields.py:15-18): partition of unity
     # and linear-field reproduction  sum_i w_i x_i - x_p.
@@ -459,7 +460,7 @@ def substep_grid(
             material=p.material,
             volume0=p.volume0,
             mass=p.mass,
-            density=p.density / (1.0 + dt * div_new),
+            density=p.density / (1.0 + dt * div_for_j),
             pressure=pressure,
             div_v=div_new,
             pou=pou,

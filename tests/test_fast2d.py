@@ -82,6 +82,20 @@ def test_long_collapse_stable_and_bounded():
     assert int(b_out.overflow) == 0
 
 
+def test_multimaterial_elastic_drop_matches_stabilized():
+    cfg = dataclasses.replace(FAST, dt=1e-5)
+    p, scene = scenes.elastic_drop_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, cfg, spec)
+    b1 = fast2d.run(b, scene, spec, 50)
+    p1 = run_ref(p, scene, 50)
+    (x_f, v_f), (x_r, v_r) = _dense_xy(b1), _ref_xy(p1)
+    assert x_f.shape == x_r.shape
+    np.testing.assert_allclose(x_f, x_r, atol=1e-6)
+    np.testing.assert_allclose(v_f, v_r, atol=1e-3)
+    assert int(b1.overflow) == 0
+
+
 def test_rebucket_preserves_state():
     p, scene, spec, b = _setup()
     b1 = fast2d.rebucket(b, scene.cfg, spec)
