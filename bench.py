@@ -26,7 +26,7 @@ import numpy as np
 def build_workload(small: bool):
     import jax.numpy as jnp
 
-    from mpm_flip98a_tpu.config import MPMConfig
+    from mpm_flip98a_tpu.config import MPMConfig, TransferKind
     from mpm_flip98a_tpu.models import scenes
 
     if small:
@@ -39,6 +39,7 @@ def build_workload(small: bool):
             fluid_width=0.105,
             fluid_height=0.21,
             flip_blend=0.98,
+            transfer=TransferKind.PIC,
         )
     else:
         # 1M particles, 512^2-cell grid, 8 particles/cell in the column
@@ -53,6 +54,7 @@ def build_workload(small: bool):
             fluid_width=0.430,
             fluid_height=0.215,
             flip_blend=0.98,
+            transfer=TransferKind.PIC,
         )
     p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
     return p, scene

@@ -25,7 +25,7 @@ from typing import Optional
 
 import numpy as np
 
-from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.config import MPMConfig, TransferKind
 from mpm_flip98a_tpu.models import fast2d, scenes, stabilized
 from mpm_flip98a_tpu.utils import checkpoint as ckpt
 from mpm_flip98a_tpu.utils import io_vtk, render
@@ -44,8 +44,13 @@ SCENARIOS = {
     # by the test suite (tests/test_mls_mpm_vs_oracle.py); this entry runs
     # the production-scale equivalent.
     "dam2d": lambda: reference_scene(),
+    # FLIP blending pairs with the PIC (non-affine) scatter — the standard
+    # FLIP transfer.  FLIP + APIC affine scatter double-counts the local
+    # velocity field and blows up within ~0.5 s (measured).
     "dam2d_flip98": lambda: scenes.dam_break_2d(
-        dataclasses.replace(MPMConfig(), flip_blend=0.98)
+        dataclasses.replace(
+            MPMConfig(), flip_blend=0.98, transfer=TransferKind.PIC
+        )
     ),
     "elastic_drop": lambda: scenes.elastic_drop_2d(),
     "dam3d": lambda: scenes.dam_break_3d(),
@@ -53,10 +58,17 @@ SCENARIOS = {
 
 
 def flip_sweep_scenes(alphas=(0.0, 0.5, 0.95, 0.98, 1.0)):
-    """BASELINE.json configs[1]: PIC/FLIP/APIC blend sweep on the dam-break."""
+    """BASELINE.json configs[1]: PIC/FLIP/APIC blend sweep on the dam-break.
+
+    alpha = 0 keeps the APIC affine transfer; alpha > 0 uses the standard
+    FLIP pairing with PIC scatter."""
     return {
         f"alpha={a}": scenes.dam_break_2d(
-            dataclasses.replace(MPMConfig(), flip_blend=a)
+            dataclasses.replace(
+                MPMConfig(),
+                flip_blend=a,
+                transfer=TransferKind.APIC if a == 0.0 else TransferKind.PIC,
+            )
         )
         for a in alphas
     }

@@ -28,8 +28,10 @@ def main():
     # Reference scene geometry (config.py:30-39) at dt = 1e-5 (CFL ~ 0.1;
     # the reference's 1e-6 is 10x under the stability limit) so a 1.5 s
     # collapse is 150 frames x 1000 substeps.
+    from mpm_flip98a_tpu.config import TransferKind
+
     cfg = dataclasses.replace(
-        MPMConfig(dtype="float32", flip_blend=0.98),
+        MPMConfig(dtype="float32", flip_blend=0.98, transfer=TransferKind.PIC),
         dt=args.dt,
     )
     p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)

@@ -96,6 +96,25 @@ def test_multimaterial_elastic_drop_matches_stabilized():
     assert int(b1.overflow) == 0
 
 
+def test_flip98_with_pic_transfer_long_run_stable():
+    # FLIP blending must pair with the PIC (non-affine) scatter; the
+    # FLIP + APIC-affine combination double-counts the local velocity
+    # field and diverges within ~0.5 s of simulated time (measured).
+    from mpm_flip98a_tpu.config import TransferKind
+
+    cfg = dataclasses.replace(
+        FAST, dt=4e-5, flip_blend=0.98, transfer=TransferKind.PIC
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.run(fast2d.from_particles(p, cfg, spec), scene, spec, 4000)
+    h = fast2d.to_host(b)
+    x = np.stack([h["x0"], h["x1"]], -1)
+    assert np.isfinite(x).all() and x.shape[0] == p.n
+    assert (x > -cfg.dx).all() and (x < cfg.domain_length + cfg.dx).all()
+    assert int(b.overflow) == 0
+
+
 def test_rebucket_preserves_state():
     p, scene, spec, b = _setup()
     b1 = fast2d.rebucket(b, scene.cfg, spec)
