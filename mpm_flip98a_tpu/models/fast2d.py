@@ -155,7 +155,7 @@ def to_host(b: FluidBuckets) -> dict:
     return out
 
 
-def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
+def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     """One fast substep; numerics mirror models/stabilized.py substep_grid
     restricted to the fluid feature set."""
     cfg = scene.cfg
@@ -254,6 +254,10 @@ def substep(b: FluidBuckets, scene: Scene) -> FluidBuckets:
 
     # ---- P2G ----------------------------------------------------------
     gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx))  # (6, G, G)
+    if grid_reduce is not None:
+        # Multi-chip particle DP: merge per-chip partial grids over ICI
+        # (parallel/fast_replicated.py passes a psum here).
+        gridsum = grid_reduce(gridsum)
     g_m = gridsum[4]
     has = g_m > 0
     safe = jnp.where(has, g_m, 1.0)

@@ -1,0 +1,108 @@
+"""Multi-chip execution of the Pallas fast path: particle data parallelism.
+
+Each chip owns a round-robin share of the particles in its own full
+(R, K_local) bucket layout; the per-chip folded grid sums merge with one
+`psum` over ICI and everything else (grid update, G2P, rebucketing) runs
+per chip with zero further communication.  The Pallas kernels are
+unchanged — they run per shard inside `shard_map` on the local K axis.
+
+Communication per substep = one all-reduce of the (ch, G, G) grid sums
+(6 MB at 512^2 fp32) — the right trade while the grid is small relative
+to the particle count; slab-sharding the fast path (grid halos instead of
+an all-reduce) is the follow-up for very large grids, prototyped in
+parallel/domain.py for the general path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.models import fast2d
+from mpm_flip98a_tpu.models.stabilized import Scene
+from mpm_flip98a_tpu.state import Particles
+
+
+def distribute(
+    p: Particles, cfg: MPMConfig, mesh: Mesh, axis: str = "x", headroom: float = 2.0
+):
+    """Round-robin particles over devices, bucket each share, concatenate
+    along the slot (K) axis and place sharded.  Returns (buckets, spec)
+    where spec describes the LOCAL per-device layout."""
+    n_dev = mesh.shape[axis]
+    shares = [
+        jax.tree.map(lambda a: a[d::n_dev], p) for d in range(n_dev)
+    ]
+    # One spec covering the worst share keeps shapes uniform.
+    specs = [
+        fast2d.FastSpec.for_particles(cfg, s, headroom=headroom) for s in shares
+    ]
+    cap = max(s.capacity for s in specs)
+    spec = fast2d.FastSpec(rows=cfg.num_grids, capacity=cap)
+    bs = [fast2d.from_particles(s, cfg, spec) for s in shares]
+    merged = jax.tree.map(
+        lambda *leaves: (
+            jnp.concatenate(leaves, axis=1)
+            if leaves[0].ndim == 2
+            else jnp.stack(leaves)  # overflow scalars -> (n_dev,)
+        ),
+        *bs,
+    )
+    sharding_k = NamedSharding(mesh, P(None, axis))
+    sharding_s = NamedSharding(mesh, P(axis))
+    placed = fast2d.FluidBuckets(
+        **{
+            f: jax.device_put(
+                getattr(merged, f),
+                sharding_k if getattr(merged, f).ndim == 2 else sharding_s,
+            )
+            for f in merged.__dataclass_fields__
+        }
+    )
+    return placed, spec
+
+
+def make_run(scene: Scene, spec: fast2d.FastSpec, mesh: Mesh, axis: str = "x"):
+    """Build `run(buckets, n_substeps)` over the mesh."""
+
+    in_spec = fast2d.FluidBuckets(
+        **{
+            f: (P(None, axis) if f != "overflow" else P(axis))
+            for f in fast2d.FluidBuckets.__dataclass_fields__
+        }
+    )
+
+    @partial(jax.jit, static_argnames=("n_substeps",))
+    def run(b: fast2d.FluidBuckets, n_substeps: int) -> fast2d.FluidBuckets:
+        def local(bl: fast2d.FluidBuckets) -> fast2d.FluidBuckets:
+            reduce = lambda t: jax.lax.psum(t, axis)
+
+            def body(_, st):
+                st = jax.lax.cond(
+                    fast2d._needs_rebucket(st, scene.cfg),
+                    lambda s: fast2d.rebucket(s, scene.cfg, spec),
+                    lambda s: s,
+                    st,
+                )
+                return fast2d.substep(st, scene, grid_reduce=reduce)
+
+            return jax.lax.fori_loop(0, n_substeps, body, bl)
+
+        # check_vma=False: Pallas out_shapes carry no varying-mesh-axes
+        # annotation, and everything here is trivially per-shard.
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec,
+            check_vma=False,
+        )(b)
+
+    return run
+
+
+def collect_positions(b: fast2d.FluidBuckets) -> np.ndarray:
+    h = fast2d.to_host(b)
+    return np.stack([h["x0"], h["x1"]], axis=-1)
