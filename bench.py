@@ -11,6 +11,8 @@ Prints ONE JSON line:
 
 Env knobs:
   BENCH_SMALL=1      tiny CPU-friendly smoke configuration
+  BENCH_3D=1         3D pencil-bucket path (1M particles, 128^3;
+                     secondary metric — the headline metric is 2D)
   BENCH_SUBSTEPS=n   override timed substeps (default 200)
 """
 
@@ -60,9 +62,47 @@ def build_workload(small: bool):
     return p, scene
 
 
+def main3d(n_sub: int):
+    import jax
+    import jax.numpy as jnp
+
+    from mpm_flip98a_tpu.models import fast3d, scenes
+
+    p, scene = scenes.slab_3d()
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=1.5)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    b = fast3d.run(b, scene, spec, n_sub)
+    float(jnp.sum(b.x0))
+    t0 = time.perf_counter()
+    b = fast3d.run(b, scene, spec, n_sub)
+    float(jnp.sum(b.x0))
+    elapsed = time.perf_counter() - t0
+    assert int(np.asarray(b.overflow)) == 0
+    value = p.n * 27 * 2 * n_sub / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "particle_grid_transfer_ops_per_sec_per_chip_3d",
+                "value": value,
+                "unit": "ops/s",
+                "vs_baseline": value / 1e9,
+                "detail": {
+                    "particles": p.n,
+                    "grid": scene.cfg.num_grids,
+                    "substeps": n_sub,
+                    "elapsed_s": round(elapsed, 4),
+                    "backend": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n_sub = int(os.environ.get("BENCH_SUBSTEPS", "16" if small else "200"))
+    if os.environ.get("BENCH_3D") == "1":
+        return main3d(min(n_sub, 50))
 
     import jax
     import jax.numpy as jnp

@@ -124,6 +124,48 @@ def elastic_drop_2d(
     return p, scene
 
 
+def slab_3d(
+    num_grids: int = 128,
+    particles_per_axis: Tuple[int, int, int] = (256, 256, 16),
+    height_frac: float = 0.125,
+    physics: Physics = Physics(),
+    dtype=np.float32,
+    dt: float = 5e-6,
+    flip_blend: float = 0.98,
+) -> Tuple[Particles, Scene]:
+    """3D fluid slab covering the whole floor — the load-balanced 3D
+    benchmark workload (even particles-per-pencil occupancy for the
+    pencil-bucketed fast path; BASELINE.json configs[3] scaled by the
+    caller: 256^3 / 8M particles = num_grids=256, (512, 512, 32))."""
+    from mpm_flip98a_tpu.config import TransferKind
+
+    cfg = MPMConfig(
+        dim=3,
+        dtype=np.dtype(dtype).name,
+        num_grids=num_grids,
+        dt=dt,
+        flip_blend=flip_blend,
+        transfer=TransferKind.PIC if flip_blend > 0 else TransferKind.APIC,
+    )
+    l = cfg.domain_length
+    size = (0.98 * l, 0.98 * l, height_frac * l)
+    x = _lattice(particles_per_axis, (0.0, 0.0, 0.0), size, dtype)
+    vol = size[0] * size[1] * size[2] / len(x)
+    p = Particles.init(
+        jnp.asarray(x), volume0=vol, density=physics.particle_density
+    )
+    scene = Scene(
+        cfg=cfg,
+        physics=physics,
+        params=mat.MaterialParams(
+            bulk_modulus=physics.bulk_modulus,
+            dynamic_viscosity=physics.dynamic_viscosity,
+        ),
+        wall=WallBC("slip"),
+    )
+    return p, scene
+
+
 def dam_break_3d(
     num_grids: int = 64,
     particles_per_axis: Tuple[int, int, int] = (24, 24, 48),
