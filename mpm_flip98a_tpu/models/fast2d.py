@@ -87,10 +87,11 @@ class FastSpec:
         occ = int(np.bincount(np.clip(row, 0, cfg.num_grids - 1), minlength=cfg.num_grids).max())
         cap = -(-int(headroom * occ) // 128) * 128
         cap = max(cap, 128)
-        if cap > 2048:
-            # Kernels split the slot axis into ceil(cap/2048) equal chunks
-            # (VMEM weight-matrix cap) — capacity must divide evenly.
-            nc = -(-cap // 2048)
+        if cap > 1024:
+            # Kernels split the slot axis into ceil(cap/1024) equal chunks
+            # (VMEM weight-matrix cap + finer count-skip) — capacity must
+            # divide evenly.
+            nc = -(-cap // 1024)
             cap = -(-cap // (128 * nc)) * (128 * nc)
         return FastSpec(rows=cfg.num_grids, capacity=cap)
 

@@ -165,9 +165,10 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float):
 
 
 def _chunk(k: int) -> int:
-    """Slot-axis chunk: caps the in-VMEM weight matrix at ~2048 x G.
-    K must be a multiple of 128 * ceil(K / 2048) (FastSpec guarantees it)."""
-    nc = -(-k // 2048)
+    """Slot-axis chunk: caps the in-VMEM weight matrix at ~1024 x G, so
+    the packed-count skip can trim partially-filled buckets at finer
+    granularity.  K must divide evenly (FastSpec guarantees it)."""
+    nc = -(-k // 1024)
     assert k % nc == 0, k
     return k // nc
 
