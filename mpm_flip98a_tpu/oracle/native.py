@@ -11,8 +11,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Optional
-
 import numpy as np
 
 from mpm_flip98a_tpu.config import MLS88Config

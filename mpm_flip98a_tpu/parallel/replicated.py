@@ -15,8 +15,6 @@ decomposition + halo exchange), which communicates only O(halo) data.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
