@@ -79,6 +79,8 @@ class FastSpec3D:
         r1 = np.floor(x[:, 1] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
         pair = np.clip(r0, 0, g - 1) * g + np.clip(r1, 0, g - 1)
         occ = int(np.bincount(pair, minlength=g * g).max())
+        # Kernels chunk the slot axis at 128 — a 128-multiple always
+        # divides into equal 128-slot chunks.
         cap = max(128, -(-int(headroom * occ) // 128) * 128)
         return FastSpec3D(rows0=g, rows1=g, capacity=cap)
 

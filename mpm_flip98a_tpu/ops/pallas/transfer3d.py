@@ -73,21 +73,31 @@ def _geom(pd, i0, i1):
 # ---------------------------------------------------------------------------
 
 
-def _p2g3d_kernel(counts_ref, pdata_ref, out_ref, *, g1: int, g2: int, dx: float):
+def _chunk3d(k: int) -> int:
+    """3D slot-axis chunk (128): pencils are small, so fine chunks let the
+    count skip trim the bimodal occupancy (straddling pencils hold ~2x the
+    average)."""
+    nc = -(-k // 128)
+    assert k % nc == 0, k
+    return k // nc
+
+
+def _p2g3d_kernel(counts_ref, pdata_ref, out_ref, *, g1: int, g2: int, dx: float, kc: int):
     i0 = pl.program_id(0)
     i1 = pl.program_id(1)
+    j = pl.program_id(2)
 
-    @pl.when(i1 == 0)
+    @pl.when((i1 == 0) & (j == 0))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(counts_ref[i0 * pl.num_programs(1) + i1] > 0)
+    @pl.when(j * kc < counts_ref[i0 * pl.num_programs(1) + i1])
     def _body():
         _p2g3d_chunk(pdata_ref, out_ref, i0, i1, g1=g1, g2=g2, dx=dx)
 
 
 def _p2g3d_chunk(pdata_ref, out_ref, i0, i1, *, g1: int, g2: int, dx: float):
-    pd = pdata_ref[0, 0]  # (26, K)
+    pd = pdata_ref[0, 0]  # (26, KC)
     k = pd.shape[1]
     gx0, gx1, gx2, base2, rel0, rel1, valid, w0, w1, w2 = _geom(pd, i0, i1)
     w_mat = _onehot_w(base2, w2, k, g2)
@@ -149,20 +159,23 @@ def p2g3d(pdata: jax.Array, counts: jax.Array, g1: int, g2: int, dx: float) -> j
     """pdata (R0, R1, 26, K), counts (R0*R1,) -> (R0, 5, 8, G1, G2)."""
     r0, r1, f, k = pdata.shape
     assert f == 6 + 18 + 2
+    kc = _chunk3d(k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r0, r1),
+        grid=(r0, r1, k // kc),
         in_specs=[
-            pl.BlockSpec((1, 1, f, k), lambda i, j, c: (i, j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 1, f, kc), lambda i, j, q, c: (i, j, 0, q), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
             (1, NT, P2G_CH, g1, g2),
-            lambda i, j, c: (i, 0, 0, 0, 0),
+            lambda i, j, q, c: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(_p2g3d_kernel, g1=g1, g2=g2, dx=dx),
+        functools.partial(_p2g3d_kernel, g1=g1, g2=g2, dx=dx, kc=kc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r0, NT, P2G_CH, g1, g2), jnp.float32),
         interpret=_interpret(),
@@ -183,17 +196,19 @@ def fold_rows0(expanded: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _g2p3d_kernel(counts_ref, pdata_ref, *refs, g2: int, dx: float, dinv: float):
+def _g2p3d_kernel(counts_ref, pdata_ref, *refs, g2: int, dx: float, dinv: float, kc: int):
     grid_refs = refs[: NT * NT]
     out_ref = refs[NT * NT]
     i0 = pl.program_id(0)
     i1 = pl.program_id(1)
+    j = pl.program_id(2)
+    cnt = counts_ref[i0 * pl.num_programs(1) + i1]
 
-    @pl.when(counts_ref[i0 * pl.num_programs(1) + i1] == 0)
+    @pl.when(j * kc >= cnt)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(counts_ref[i0 * pl.num_programs(1) + i1] > 0)
+    @pl.when(j * kc < cnt)
     def _body():
         _g2p3d_chunk(pdata_ref, grid_refs, out_ref, i0, i1, g2=g2, dx=dx, dinv=dinv)
 
@@ -257,10 +272,11 @@ def g2p3d(
     padded = jnp.zeros((r0 + NT - 1, r1 + NT - 1, G2P_CH, g2), grid6.dtype)
     padded = padded.at[1 : r0 + 1, 1 : r1 + 1].set(grid6)
 
+    kc = _chunk3d(k)
     grid_specs = [
         pl.BlockSpec(
             (1, 1, G2P_CH, g2),
-            (lambda i, j, c, t0=t0, t1=t1: (i + t0, j + t1, 0, 0)),
+            (lambda i, j, q, c, t0=t0, t1=t1: (i + t0, j + t1, 0, 0)),
             memory_space=pltpu.VMEM,
         )
         for t0 in range(NT)
@@ -268,17 +284,19 @@ def g2p3d(
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r0, r1),
+        grid=(r0, r1, k // kc),
         in_specs=[
-            pl.BlockSpec((1, 1, 4, k), lambda i, j, c: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 4, kc), lambda i, j, q, c: (i, j, 0, q), memory_space=pltpu.VMEM
+            ),
             *grid_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G2P_OUT, k), lambda i, j, c: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, G2P_OUT, kc), lambda i, j, q, c: (i, j, 0, q), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        functools.partial(_g2p3d_kernel, g2=g2, dx=dx, dinv=dinv),
+        functools.partial(_g2p3d_kernel, g2=g2, dx=dx, dinv=dinv, kc=kc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r0, r1, G2P_OUT, k), jnp.float32),
         interpret=_interpret(),
