@@ -112,6 +112,19 @@ class Simulation:
             return np.stack([h["x0"], h["x1"]], axis=-1)
         return np.asarray(self.state.x)[:, : self.cfg.dim]
 
+    def material_colors(self) -> np.ndarray:
+        """Per-particle RGB by material id (fluid blue, solids in the
+        reference's impact-block palette, mls-mpm88-explained.cpp:194,199)."""
+        if self.path == "fast":
+            mats = fast2d.to_host(self.state)["mat"].astype(np.int64)
+        else:
+            mats = np.asarray(self.state.material)
+        palette = np.array(
+            [render._hex_rgb(c) for c in (0x2986CC, 0xED553B, 0xF2B134)],
+            np.uint8,
+        )
+        return palette[np.clip(mats, 0, 2)]
+
     # -- stepping --------------------------------------------------------
 
     def step_frame(self, n_substeps: Optional[int] = None) -> None:
@@ -132,7 +145,10 @@ class Simulation:
         with self.timers.scope("post_process"):
             x = self.positions()
             img = render.rasterize(
-                x[:, :2], res=self.render_res, extent=self.cfg.domain_length
+                x[:, :2],
+                res=self.render_res,
+                extent=self.cfg.domain_length,
+                colors=self.material_colors(),
             )
             render.write_png(img, f"{self.frame_dir}/{self.frame_count:05d}.png")
             if keep_frame:

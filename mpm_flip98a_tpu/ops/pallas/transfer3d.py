@@ -44,8 +44,9 @@ G2P_CH = 6            # v_new(3), v0(3)
 G2P_OUT = 18          # vpic(3), v0g(3), C(9), pad to even
 
 
-def _onehot_w(base2, w2, k, g2):
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k, g2), 1).astype(jnp.float32)
+def _onehot_w(base2, w2, k, g2, col0=0):
+    """One-hot column weights for columns [col0, col0 + g2)."""
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (k, g2), 1).astype(jnp.float32)
     w_mat = jnp.zeros((k, g2), jnp.float32)
     for c in range(3):
         w_mat = w_mat + jnp.where(cols == base2[:, None] + c, w2[c][:, None], 0.0)
@@ -82,25 +83,31 @@ def _chunk3d(k: int) -> int:
     return k // nc
 
 
-def _p2g3d_kernel(counts_ref, pdata_ref, out_ref, *, g1: int, g2: int, dx: float, kc: int):
+def _p2g3d_kernel(counts_ref, pdata_ref, out_ref, *, g1: int, g2t: int, dx: float, kc: int):
+    # Grid dims: (r0, n_g2_tiles, r1, n_k_chunks) — the z-axis tile index
+    # must be OUTER to (i1, j) so the output block stays resident in VMEM
+    # while accumulating over the fast (i1, chunk) dims.
     i0 = pl.program_id(0)
-    i1 = pl.program_id(1)
-    j = pl.program_id(2)
+    tz = pl.program_id(1)
+    i1 = pl.program_id(2)
+    j = pl.program_id(3)
 
     @pl.when((i1 == 0) & (j == 0))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(j * kc < counts_ref[i0 * pl.num_programs(1) + i1])
+    @pl.when(j * kc < counts_ref[i0 * pl.num_programs(2) + i1])
     def _body():
-        _p2g3d_chunk(pdata_ref, out_ref, i0, i1, g1=g1, g2=g2, dx=dx)
+        _p2g3d_chunk(pdata_ref, out_ref, i0, i1, tz, g1=g1, g2t=g2t, dx=dx)
 
 
-def _p2g3d_chunk(pdata_ref, out_ref, i0, i1, *, g1: int, g2: int, dx: float):
+def _p2g3d_chunk(pdata_ref, out_ref, i0, i1, tz, *, g1: int, g2t: int, dx: float):
     pd = pdata_ref[0, 0]  # (26, KC)
     k = pd.shape[1]
+    g2 = g2t
     gx0, gx1, gx2, base2, rel0, rel1, valid, w0, w1, w2 = _geom(pd, i0, i1)
-    w_mat = _onehot_w(base2, w2, k, g2)
+    col0 = tz * g2t
+    w_mat = _onehot_w(base2, w2, k, g2, col0)
 
     mv = (pd[3], pd[4], pd[5])
     p_aff = tuple(pd[6 + i] for i in range(9))    # row-major P
@@ -135,7 +142,7 @@ def _p2g3d_chunk(pdata_ref, out_ref, i0, i1, *, g1: int, g2: int, dx: float):
     a_mat = jnp.stack(rows)  # (25 * 20, K)
     o = jnp.dot(a_mat, w_mat, preferred_element_type=jnp.float32)  # (500, G2)
 
-    colv = jax.lax.broadcasted_iota(jnp.int32, (1, g2), 1).astype(jnp.float32)
+    colv = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, g2), 1).astype(jnp.float32)
     for t0 in range(NT):
         for t1 in range(NT):
             row = i1 + (t1 - 1)
@@ -160,22 +167,31 @@ def p2g3d(pdata: jax.Array, counts: jax.Array, g1: int, g2: int, dx: float) -> j
     r0, r1, f, k = pdata.shape
     assert f == 6 + 18 + 2
     kc = _chunk3d(k)
+    # Tile the z axis of the plane output block so it fits in VMEM
+    # (~6 MB cap on the block: 5 * 8 * G1 * G2T * 4B).
+    n_tz = 1
+    while NT * P2G_CH * g1 * (g2 // n_tz) * 4 > 6 * 1024 * 1024:
+        n_tz *= 2
+    assert g2 % n_tz == 0, (g2, n_tz)
+    g2t = g2 // n_tz
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r0, r1, k // kc),
+        grid=(r0, n_tz, r1, k // kc),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, f, kc), lambda i, j, q, c: (i, j, 0, q), memory_space=pltpu.VMEM
+                (1, 1, f, kc),
+                lambda i, tz, j, q, c: (i, j, 0, q),
+                memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, NT, P2G_CH, g1, g2),
-            lambda i, j, q, c: (i, 0, 0, 0, 0),
+            (1, NT, P2G_CH, g1, g2t),
+            lambda i, tz, j, q, c: (i, 0, 0, 0, tz),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(_p2g3d_kernel, g1=g1, g2=g2, dx=dx, kc=kc),
+        functools.partial(_p2g3d_kernel, g1=g1, g2t=g2t, dx=dx, kc=kc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r0, NT, P2G_CH, g1, g2), jnp.float32),
         interpret=_interpret(),
