@@ -9,8 +9,8 @@ but the hot loops run as MXU matmuls, ~50x faster than the scatter path at
 1M particles (measured on v5e).
 
 State lives permanently in the bucketed (R, K) slot layout; `rebucket`
-(one XLA sort) runs every `rebucket_every` substeps, which the +-1-row
-kernel margin makes safe for any CFL-respecting dt.
+(one XLA sort) triggers adaptively from a drift check — every few hundred
+substeps at CFL-respecting dt — which the +-1-row kernel margin makes safe.
 
 Feature switches covered here: APIC/PIC transfer, FLIP blend alpha,
 linear/Tait EOS, slip/sticky walls.  F-bar, penalty EBC and pressure
