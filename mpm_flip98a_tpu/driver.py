@@ -182,8 +182,13 @@ class Simulation:
         substeps_per_frame: Optional[int] = None,
         gif: bool = True,
         verbose: bool = True,
+        checkpoint_every: Optional[int] = None,
     ) -> None:
-        """The reference outer loop (exec.py:20-29) + Run Time print (:31)."""
+        """The reference outer loop (exec.py:20-29) + Run Time print (:31).
+
+        `checkpoint_every` frames writes a rolling restart point — the
+        failure-recovery mechanism the reference lacks (SURVEY.md section 5:
+        its only persisted state is frames + VTK dumps)."""
         n_frames = n_frames or self.cfg.num_frames
         t_begin = time.time()
         sim_total = n_frames * (substeps_per_frame or self.cfg.substeps_per_frame) * self.cfg.dt
@@ -196,6 +201,8 @@ class Simulation:
                     extra=f"{self.meter.substeps_per_sec:.0f} sub/s",
                 )
             self.post_process()
+            if checkpoint_every and self.frame_count % checkpoint_every == 0:
+                self.save_checkpoint(f"{self.frame_dir}/restart.npz")
         if gif and self.frames:
             render.write_gif(self.frames, f"{self.frame_dir}/output.gif")
         if verbose:
@@ -214,6 +221,9 @@ def main(argv=None):
     ap.add_argument("--out", default="out")
     ap.add_argument("--resume", default=None, help="checkpoint to restore")
     ap.add_argument("--checkpoint", default=None, help="write checkpoint at end")
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=None, help="rolling restart every N frames"
+    )
     ap.add_argument("--no-gif", action="store_true")
     args = ap.parse_args(argv)
 
@@ -221,7 +231,12 @@ def main(argv=None):
     sim = Simulation(p, scene, path=args.path, out_dir=args.out)
     if args.resume:
         sim.restore_checkpoint(args.resume)
-    sim.run(n_frames=args.frames, substeps_per_frame=args.substeps, gif=not args.no_gif)
+    sim.run(
+        n_frames=args.frames,
+        substeps_per_frame=args.substeps,
+        gif=not args.no_gif,
+        checkpoint_every=args.checkpoint_every,
+    )
     if args.checkpoint:
         sim.save_checkpoint(args.checkpoint)
 

@@ -1,0 +1,41 @@
+"""Dtype coverage: the general path must run in f32, f64 and bf16.
+
+The reference's production dtype is ti.f64 (config.py:17); bf16 is the
+TPU-native extra — physics is rough at 8 mantissa bits but must stay
+finite and bounded (useful for throughput-mode previews)."""
+
+import numpy as np
+import pytest
+
+from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.models import scenes
+from mpm_flip98a_tpu.models.stabilized import run
+
+FAST = MPMConfig(num_grids=37, dt=2e-5, num_particles_x=16, num_particles_y=32)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_general_path_dtype(dtype):
+    p, scene = scenes.dam_break_2d(FAST, dtype=dtype)
+    out = run(p, scene, 100)
+    x = np.asarray(out.x)
+    assert x.dtype == dtype
+    assert np.isfinite(x).all()
+
+
+def test_general_path_bf16():
+    import jax.numpy as jnp
+
+    p, scene = scenes.dam_break_2d(FAST, dtype=np.float32)
+    p16 = type(p)(
+        **{
+            f: (getattr(p, f).astype(jnp.bfloat16)
+                if getattr(p, f).dtype == jnp.float32 else getattr(p, f))
+            for f in p.__dataclass_fields__
+        }
+    )
+    out = run(p16, scene, 50)
+    x = np.asarray(out.x, np.float32)
+    assert np.isfinite(x).all()
+    assert (x > -4 * scene.cfg.dx).all()
+    assert (x < scene.cfg.domain_length + 4 * scene.cfg.dx).all()
