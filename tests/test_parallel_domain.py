@@ -86,7 +86,11 @@ def test_migration_happened():
 
 def test_domain_with_all_switches():
     cfg = dataclasses.replace(
-        FAST, use_fbar=True, pressure_mixing_ratio=0.5, flip_blend=0.98
+        FAST,
+        use_fbar=True,
+        pressure_mixing_ratio=0.5,
+        flip_blend=0.98,
+        use_penalty_ebc=True,
     )
     p, scene, mesh, spec, state, perm = _setup(cfg)
     out = make_run(scene, spec, mesh)(state, 50)
