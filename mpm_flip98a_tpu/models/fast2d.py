@@ -264,13 +264,22 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     safe = jnp.where(has, g_m, 1.0)
     v0g = jnp.where(has, gridsum[0:2] / safe, 0.0)      # pre-force
     grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
-    vng = jnp.where(has, gridsum[2:4] / safe, 0.0)
-    vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
+    if cfg.use_penalty_ebc:
+        # Implicit normal-velocity penalty (same formulation as the general
+        # path, models/stabilized.py): (m I + dt beta n(x)n) v = m v* + dt m g;
+        # the box's penalty matrix is diagonal, so the solve is a divide.
+        from mpm_flip98a_tpu.models.stabilized import _wall_normal_diag
 
-    # Wall BCs operate on the (G, G, 2) trailing layout.
-    v_new = _apply_wall_bc(
-        jnp.moveaxis(vng, 0, -1), cfg, scene.wall
-    )
+        beta = jnp.float32(cfg.penalty_parameter(scene.physics))
+        pen = jnp.moveaxis(_wall_normal_diag(cfg, jnp.float32), -1, 0)  # (2, G, G)
+        rhs = gridsum[2:4] + dt * g_m[None] * grav[:, None, None]
+        vng = jnp.where(has[None], rhs / (g_m[None] + dt * beta * pen), 0.0)
+        v_new = jnp.moveaxis(vng, 0, -1)
+    else:
+        vng = jnp.where(has, gridsum[2:4] / safe, 0.0)
+        vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
+        # Wall BCs operate on the (G, G, 2) trailing layout.
+        v_new = _apply_wall_bc(jnp.moveaxis(vng, 0, -1), cfg, scene.wall)
     grid4 = jnp.concatenate(
         [jnp.moveaxis(v_new, -1, 0), v0g], axis=0
     )  # (4, G, G)

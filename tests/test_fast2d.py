@@ -115,6 +115,17 @@ def test_flip98_with_pic_transfer_long_run_stable():
     assert int(b.overflow) == 0
 
 
+def test_penalty_ebc_matches_stabilized():
+    cfg = dataclasses.replace(FAST, use_penalty_ebc=True)
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.run(fast2d.from_particles(p, cfg, spec), scene, spec, 100)
+    ref = run_ref(p, scene, 100)
+    (x_f, v_f), (x_r, v_r) = _dense_xy(b), _ref_xy(ref)
+    np.testing.assert_allclose(x_f, x_r, atol=1e-5)
+    assert int(b.overflow) == 0
+
+
 def test_rebucket_preserves_state():
     p, scene, spec, b = _setup()
     b1 = fast2d.rebucket(b, scene.cfg, spec)
