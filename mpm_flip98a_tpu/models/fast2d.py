@@ -13,8 +13,12 @@ State lives permanently in the bucketed (R, K) slot layout; `rebucket`
 substeps at CFL-respecting dt — which the +-1-row kernel margin makes safe.
 
 Feature switches covered here: APIC/PIC transfer, FLIP blend alpha,
-linear/Tait EOS, slip/sticky walls.  F-bar, penalty EBC and pressure
-mixing currently use the general XLA path (models/stabilized.py).
+linear/Tait EOS, slip/sticky walls, penalty EBC, and fused F-bar /
+pressure-mixing stabilization (nodal averages carried with a one-substep
+lag through extra transfer channels — the matmul M-dim had free capacity,
+so the extended channels are near-free).  The general XLA path
+(models/stabilized.py) remains the reference semantics (two-pass
+projection, no lag).
 """
 
 from __future__ import annotations
@@ -65,6 +69,11 @@ class FluidBuckets:
     mass: jax.Array
     vol0: jax.Array
     mat: jax.Array       # int32 material id (models/materials.py)
+    # Fused-stabilization state (one-substep-lag nodal averages; only
+    # meaningful when use_fbar / pressure mixing is on):
+    jbar_s: jax.Array    # gathered nodal volume-ratio average
+    p_s: jax.Array       # gathered grid-projected pressure
+    div_s: jax.Array     # gathered grid-projected divergence
     mask: jax.Array      # f32 0/1
     overflow: jax.Array  # int32 scalar, cumulative rebucket overflow
 
@@ -102,6 +111,7 @@ def _field_list(b: FluidBuckets):
         b.C00, b.C01, b.C10, b.C11,
         b.F00, b.F01, b.F10, b.F11,
         b.J, b.mass, b.vol0, b.mat,
+        b.jbar_s, b.p_s, b.div_s,
     )
 
 
@@ -138,6 +148,9 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets
         to32(p.F)[:, 1, 0], to32(p.F)[:, 1, 1],
         to32(p.J), to32(p.mass), to32(p.volume0),
         p.material.astype(jnp.int32),
+        to32(p.J),                      # jbar_s init = J
+        jnp.zeros((n,), jnp.float32),   # p_s
+        jnp.zeros((n,), jnp.float32),   # div_s
     )
     fields, mask, overflow = binning.bucket_by_row(
         row, jnp.ones((n,), jnp.bool_), flat, spec.rows, spec.capacity
@@ -174,7 +187,16 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     # ---- stress: component-form material dispatch ----------------------
     # Same models as models/materials.py, written on (R, K) component
     # arrays (building (R, K, 2, 2) temporaries would tile terribly).
-    vj = b.vol0 * b.J
+    #
+    # Fused stabilization (F-bar / pressure mixing): the nodal averages
+    # jbar_s / p_s / div_s were gathered by LAST substep's G2P (extra grid
+    # channels) — a one-substep lag relative to the general path's
+    # separate projection pass, consistent explicit integration.
+    ratio = float(cfg.pressure_mixing_ratio)
+    ext = bool(cfg.use_fbar or ratio > 0.0)
+    jeff = b.jbar_s if cfg.use_fbar else b.J
+    vj = b.vol0 * jeff
+    p_point_out = jnp.zeros_like(b.J)
     tau00 = jnp.zeros_like(b.J)
     tau01 = jnp.zeros_like(b.J)
     tau10 = jnp.zeros_like(b.J)
@@ -184,10 +206,15 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
             kb = jnp.float32(scene.params.bulk_modulus)
             mu = jnp.float32(scene.params.dynamic_viscosity)
             if scene.params.eos == EOSKind.LINEAR:
-                pressure = -kb * (b.J - 1.0)
+                p_point = -kb * (jeff - 1.0)
             else:
                 gamma = jnp.float32(scene.params.tait_gamma)
-                pressure = (kb / gamma) * ((1.0 / b.J) ** gamma - 1.0)
+                p_point = (kb / gamma) * ((1.0 / jeff) ** gamma - 1.0)
+            p_point_out = p_point
+            if ratio > 0.0:
+                pressure = ratio * b.p_s + (1.0 - ratio) * p_point
+            else:
+                pressure = p_point
             div = b.C00 + b.C11
             t00 = vj * (-pressure + 2.0 * mu * (b.C00 - 0.5 * div))
             t11 = vj * (-pressure + 2.0 * mu * (b.C11 - 0.5 * div))
@@ -239,22 +266,26 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     q10, q11 = p10 + fa * tau10, p11 + fa * tau11
 
     m = b.mass * b.mask
-    pdata = jnp.stack(
-        [
-            gx0, gx1,
-            m * b.v0, m * b.v1,
-            p00 * b.mask, p01 * b.mask, p10 * b.mask, p11 * b.mask,
-            q00 * b.mask, q01 * b.mask, q10 * b.mask, q11 * b.mask,
-            m, vj * b.mask,
-        ],
-        axis=1,
-    )  # (R, 14, K)
+    rows_ = [
+        gx0, gx1,
+        m * b.v0, m * b.v1,
+        p00 * b.mask, p01 * b.mask, p10 * b.mask, p11 * b.mask,
+        q00 * b.mask, q01 * b.mask, q10 * b.mask, q11 * b.mask,
+        m,
+    ]
+    if ext:
+        v0m = b.vol0 * b.mask
+        div_point = b.C00 + b.C11
+        rows_ += [v0m * b.J, v0m, v0m * p_point_out, v0m * div_point]
+    else:
+        rows_ += [vj * b.mask]
+    pdata = jnp.stack(rows_, axis=1)  # (R, 14 or 17, K)
 
     # Packed-bucket row counts drive chunk skipping in the kernels.
     counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
 
     # ---- P2G ----------------------------------------------------------
-    gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx))  # (6, G, G)
+    gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx))  # (nch, G, G)
     if grid_reduce is not None:
         # Multi-chip particle DP: merge per-chip partial grids over ICI
         # (parallel/fast_replicated.py passes a psum here).
@@ -280,14 +311,22 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
         vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
         # Wall BCs operate on the (G, G, 2) trailing layout.
         v_new = _apply_wall_bc(jnp.moveaxis(vng, 0, -1), cfg, scene.wall)
-    grid4 = jnp.concatenate(
-        [jnp.moveaxis(v_new, -1, 0), v0g], axis=0
-    )  # (4, G, G)
-    grid4 = jnp.moveaxis(grid4, 0, 1)  # (G, 4, G): rows leading for g2p
+    gparts = [jnp.moveaxis(v_new, -1, 0), v0g]
+    if ext:
+        # Nodal averages for the NEXT substep's stress: Jbar, p, div.
+        v0sum = gridsum[6]
+        has_v = v0sum > 0
+        safe_v = jnp.where(has_v, v0sum, 1.0)
+        jbar_g = jnp.where(has_v, gridsum[5] / safe_v, 1.0)
+        p_g = jnp.where(has_v, gridsum[7] / safe_v, 0.0)
+        div_g = jnp.where(has_v, gridsum[8] / safe_v, 0.0)
+        gparts.append(jnp.stack([jbar_g, p_g, div_g], axis=0))
+    grid4 = jnp.concatenate(gparts, axis=0)  # (4 or 7, G, G)
+    grid4 = jnp.moveaxis(grid4, 0, 1)  # (G, gch, G): rows leading for g2p
 
     # ---- G2P ----------------------------------------------------------
     pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)   # (R, 3, K)
-    out8 = tk.g2p(pdata2, counts, grid4, dx, dinv)   # (R, 8, K)
+    out8 = tk.g2p(pdata2, counts, grid4, dx, dinv)   # (R, 8 or 11, K)
     vpic0, vpic1 = out8[:, 0], out8[:, 1]
     vold0, vold1 = out8[:, 2], out8[:, 3]
     c00, c01, c10, c11 = out8[:, 4], out8[:, 5], out8[:, 6], out8[:, 7]
@@ -297,6 +336,20 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     nv1 = alpha * (b.v1 + vpic1 - vold1) + (1 - alpha) * vpic1
 
     div_new = c00 + c11
+    if ratio > 0.0:
+        # Mixed divergence drives the volumetric update (the general path's
+        # pressureMixingRatio semantics with the same one-substep lag).
+        div_for_j = ratio * b.div_s + (1.0 - ratio) * div_new
+    else:
+        div_for_j = div_new
+    if ext:
+        jbar_new = jnp.where(b.mask > 0, out8[:, 8], 1.0)
+        p_new = out8[:, 9] * b.mask
+        div_s_new = out8[:, 10] * b.mask
+    else:
+        jbar_new = b.jbar_s
+        p_new = b.p_s
+        div_s_new = b.div_s
     # F <- (I + dt C) F, component form (mls-mpm88-explained.cpp:162).
     f00 = (1 + dt * c00) * b.F00 + dt * c01 * b.F10
     f01 = (1 + dt * c00) * b.F01 + dt * c01 * b.F11
@@ -309,10 +362,13 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
         v1=nv1 * b.mask,
         C00=c00, C01=c01, C10=c10, C11=c11,
         F00=f00, F01=f01, F10=f10, F11=f11,
-        J=jnp.where(b.mask > 0, b.J * (1.0 + dt * div_new), 1.0),
+        J=jnp.where(b.mask > 0, b.J * (1.0 + dt * div_for_j), 1.0),
         mass=b.mass,
         vol0=b.vol0,
         mat=b.mat,
+        jbar_s=jbar_new,
+        p_s=p_new,
+        div_s=div_s_new,
         mask=b.mask,
         overflow=b.overflow,
     )

@@ -54,9 +54,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NT = 5  # candidate target rows: bucket_row - 1 .. bucket_row + 3
+# Base channel sets; the extended variants add the fused-stabilization
+# channels (nodal F-bar numerator/denominator + pressure/divergence
+# projection), chosen by the input's channel count:
+#   P2G plain channels: [m v (2), m v + f (2), m, V] / ext:
+#                       [m v (2), m v + f (2), m, V0 J, V0, V0 p, V0 div]
+#   G2P grid channels : [v_new (2), v0 (2)] / ext: + [Jbar, p, div]
+# A-matrix rows per target row = plain channels + 4 column-linear + 4
+# column-linear * gx1.
 P2G_CH = 6
-P2G_AROWS = 14  # 6 (plain) + 4 (column-linear) + 4 (column-linear * gx1)
+P2G_CH_EXT = 9
 G2P_CH = 4
+G2P_CH_EXT = 7
 
 
 def _interpret() -> bool:
@@ -86,7 +95,7 @@ def _row_weights(rel, w0, valid, t):
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int):
+def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, ext: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -101,10 +110,10 @@ def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int):
     # sparse buckets then cost one predicate each.
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx)
+        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx, ext=ext)
 
 
-def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float):
+def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool):
     pd = pdata_ref[0]  # (14, KC)
     k = pd.shape[1]
     gx0, gx1 = pd[0], pd[1]
@@ -128,19 +137,20 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float):
     mv = (pd[2], pd[3])
     p_aff = (pd[4], pd[5], pd[6], pd[7])   # P00 P01 P10 P11
     q_aff = (pd[8], pd[9], pd[10], pd[11])
-    mass, vol = pd[12], pd[13]
+    nch = P2G_CH_EXT if ext else P2G_CH
+    plain = [pd[12 + e] for e in range(nch - 4)]  # m, V[, V0 J, V0, V0 p, V0 div]
+    arows = nch + 8
 
     rows = []
     for t in range(NT):
         wr = _row_weights(rel, w0, valid, t)
         rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
-        # 6 plain channels.
+        # Momentum channels (affine) + plain channels.
         rows.append(wr * (mv[0] + p_aff[0] * rdp))
         rows.append(wr * (mv[1] + p_aff[2] * rdp))
         rows.append(wr * (mv[0] + q_aff[0] * rdp))
         rows.append(wr * (mv[1] + q_aff[2] * rdp))
-        rows.append(wr * mass)
-        rows.append(wr * vol)
+        rows.extend(wr * v for v in plain)
         # 4 column-linear channels (coefficient of (c - gx1) * dx).
         a2 = (
             wr * p_aff[1] * dx,
@@ -151,16 +161,20 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float):
         rows.extend(a2)
         rows.extend(a * gx1 for a in a2)
 
-    a_mat = jnp.stack(rows)  # (5*14, K)
-    o = jnp.dot(a_mat, w_mat, preferred_element_type=jnp.float32)  # (70, G)
+    a_mat = jnp.stack(rows)  # (NT * arows, K)
+    o = jnp.dot(a_mat, w_mat, preferred_element_type=jnp.float32)
 
     colv = cols[0:1, :]  # (1, G) column index as f32
     for t in range(NT):
-        b = t * P2G_AROWS
-        for ch in range(P2G_CH):
+        b = t * arows
+        for ch in range(nch):
             val = o[b + ch : b + ch + 1, :]
             if ch < 4:
-                val = val + o[b + 6 + ch : b + 7 + ch, :] * colv - o[b + 10 + ch : b + 11 + ch, :]
+                val = (
+                    val
+                    + o[b + nch + ch : b + nch + 1 + ch, :] * colv
+                    - o[b + nch + 4 + ch : b + nch + 5 + ch, :]
+                )
             out_ref[0, t, ch, :] += val[0]
 
 
@@ -175,9 +189,14 @@ def _chunk(k: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("g", "dx"))
 def p2g(pdata: jax.Array, counts: jax.Array, g: int, dx: float) -> jax.Array:
-    """pdata (R, 14, K), counts (R,) int32 -> contributions (R, 5, 6, G)."""
+    """pdata (R, 8 + nch, K), counts (R,) int32 -> (R, 5, nch, G).
+
+    nch is inferred from pdata's field count: 14 rows = base channels,
+    17 rows = extended (fused F-bar / projection) channels."""
     r, f, k = pdata.shape
-    assert f == P2G_AROWS
+    nch = f - 8
+    assert nch in (P2G_CH, P2G_CH_EXT), f
+    ext = nch == P2G_CH_EXT
     kc = _chunk(k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -186,13 +205,13 @@ def p2g(pdata: jax.Array, counts: jax.Array, g: int, dx: float) -> jax.Array:
             pl.BlockSpec((1, f, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, NT, P2G_CH, g), lambda i, j, c: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, NT, nch, g), lambda i, j, c: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc),
+        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc, ext=ext),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, NT, P2G_CH, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, NT, nch, g), jnp.float32),
         interpret=_interpret(),
     )(counts, pdata)
 
@@ -211,7 +230,7 @@ def fold_rows(expanded: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float, kc: int):
+def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float, kc: int, ext: bool):
     out_ref = grid_refs_and_out[NT]
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -224,10 +243,10 @@ def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, di
 
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _g2p_chunk(pdata_ref, grid_refs_and_out, i, g=g, dx=dx, dinv=dinv)
+        _g2p_chunk(pdata_ref, grid_refs_and_out, i, g=g, dx=dx, dinv=dinv, ext=ext)
 
 
-def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: float):
+def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: float, ext: bool):
     grid_refs = grid_refs_and_out[:NT]
     out_ref = grid_refs_and_out[NT]
     pd = pdata_ref[0]  # (3, K)
@@ -252,35 +271,40 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
     for c in range(3):
         w_t = w_t + jnp.where(rows_io == base1[None, :] + c, w1[c][None, :], 0.0)
 
-    # Grid rows for the 5 candidate targets, channels-leading: each (4, G);
-    # stack plain + column-weighted variants -> (40, G).
+    # Grid rows for the 5 candidate targets, channels-leading: each
+    # (gch, G); stack plain + column-weighted variants.
+    gch = G2P_CH_EXT if ext else G2P_CH
     colv = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1).astype(jnp.float32)
     gs = []
     for t in range(NT):
-        gt = grid_refs[t][0]            # (4, G)
+        gt = grid_refs[t][0]            # (gch, G)
         gs.append(gt)
         gs.append(gt * colv)
-    gboth = jnp.concatenate(gs, axis=0)  # (5 * 8, G)
+    gboth = jnp.concatenate(gs, axis=0)  # (5 * 2 gch, G)
 
-    s = jnp.dot(gboth, w_t, preferred_element_type=jnp.float32)  # (40, K)
+    s = jnp.dot(gboth, w_t, preferred_element_type=jnp.float32)
 
     vpic = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
     vold = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
     c_out = [jnp.zeros((k,), jnp.float32) for _ in range(4)]
+    n_extra = gch - G2P_CH
+    extra = [jnp.zeros((k,), jnp.float32) for _ in range(n_extra)]
     for t in range(NT):
         wr = _row_weights(rel, w0, valid, t)
         rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
-        b = 8 * t
+        b = 2 * gch * t
         for a in range(2):
             sv = s[b + a]
-            svc = s[b + 4 + a]
+            svc = s[b + gch + a]
             colg = (svc - gx1 * sv) * dx
             vpic[a] = vpic[a] + wr * sv
             vold[a] = vold[a] + wr * s[b + 2 + a]
             c_out[2 * a] = c_out[2 * a] + dinv * wr * rdp * sv
             c_out[2 * a + 1] = c_out[2 * a + 1] + dinv * wr * colg
+        for e in range(n_extra):
+            extra[e] = extra[e] + wr * s[b + 4 + e]
 
-    for ix, vals in enumerate(vpic + vold + c_out):
+    for ix, vals in enumerate(vpic + vold + c_out + extra):
         out_ref[0, ix, :] = vals
 
 
@@ -288,21 +312,26 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
 def g2p(
     pdata2: jax.Array, counts: jax.Array, grid4: jax.Array, dx: float, dinv: float
 ) -> jax.Array:
-    """pdata2 (R, 3, K), counts (R,) int32, grid4 (R, 4, G) channels-leading
-    -> (R, 8, K).
+    """pdata2 (R, 3, K), counts (R,) int32, grid4 (R, gch, G)
+    channels-leading -> (R, 8 or 11, K).
 
-    grid4 rows are the UNPADDED grid (row r = grid row r); padding to
-    (R+4, 4, G) happens here so the 5 overlapping row windows exist.
+    gch = 4 (base: v_new, v0) or 7 (extended: + Jbar, p, div — the fused
+    stabilization read-back).  grid4 rows are the UNPADDED grid; padding to
+    (R+4, gch, G) happens here so the 5 overlapping row windows exist.
     """
     r, _, k = pdata2.shape
+    gch = grid4.shape[1]
+    assert gch in (G2P_CH, G2P_CH_EXT), grid4.shape
+    ext = gch == G2P_CH_EXT
+    n_out = 8 + (gch - G2P_CH)
     g = grid4.shape[2]
     kc = _chunk(k)
-    padded = jnp.zeros((r + NT - 1, G2P_CH, g), grid4.dtype)
+    padded = jnp.zeros((r + NT - 1, gch, g), grid4.dtype)
     padded = padded.at[1 : r + 1].set(grid4)
 
     grid_specs = [
         pl.BlockSpec(
-            (1, G2P_CH, g), (lambda i, j, c, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
+            (1, gch, g), (lambda i, j, c, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
         )
         for t in range(NT)
     ]
@@ -314,12 +343,12 @@ def g2p(
             *grid_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM
+            (1, n_out, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc),
+        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc, ext=ext),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, 8, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, n_out, k), jnp.float32),
         interpret=_interpret(),
     )(counts, pdata2, *([padded] * NT))

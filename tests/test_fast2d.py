@@ -126,6 +126,44 @@ def test_penalty_ebc_matches_stabilized():
     assert int(b.overflow) == 0
 
 
+def test_fused_fbar_mixing_tracks_stabilized_statistically():
+    # The fast path fuses the F-bar / pressure projection into the transfer
+    # kernels with a one-substep lag, so per-particle trajectories diverge
+    # O(dt) from the two-pass general path; the ensemble must still agree.
+    # The lag tightens the stable dt when BOTH stabilizers are active
+    # (measured: stable at CFL ~0.15, diverges at ~0.3; each switch alone
+    # is stable at ~0.3) — run at dt = 2e-5.
+    cfg = dataclasses.replace(
+        FAST, dt=2e-5, use_fbar=True, pressure_mixing_ratio=0.5
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.run(fast2d.from_particles(p, cfg, spec), scene, spec, 1000)
+    ref = run_ref(p, scene, 1000)
+    h = fast2d.to_host(b)
+    x_f = np.stack([h["x0"], h["x1"]], -1)
+    x_r = np.asarray(ref.x)
+    assert np.isfinite(x_f).all() and x_f.shape[0] == p.n
+    np.testing.assert_allclose(x_f.mean(axis=0), x_r.mean(axis=0), atol=5e-4)
+    np.testing.assert_allclose(x_f.std(axis=0), x_r.std(axis=0), atol=5e-4)
+    assert np.abs(h["J"] - 1.0).max() < 0.1
+    assert int(b.overflow) == 0
+
+
+def test_fused_stabilization_first_step_matches_exactly():
+    # At t = 0 the lagged averages equal their pointwise values (J = 1,
+    # p = 0, div = 0), so the FIRST substep must match the general path
+    # exactly even with the fused switches on.
+    cfg = dataclasses.replace(FAST, use_fbar=True, pressure_mixing_ratio=0.5)
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b1 = fast2d.substep(fast2d.from_particles(p, cfg, spec), scene)
+    p1 = substep_ref(p, scene)
+    (x_f, v_f), (x_r, v_r) = _dense_xy(b1), _ref_xy(p1)
+    np.testing.assert_allclose(x_f, x_r, atol=1e-7)
+    np.testing.assert_allclose(v_f, v_r, atol=1e-4)
+
+
 def test_rebucket_preserves_state():
     p, scene, spec, b = _setup()
     b1 = fast2d.rebucket(b, scene.cfg, spec)
