@@ -1,0 +1,38 @@
+"""Driver CLI smoke: the `python -m mpm_flip98a_tpu` argument surface."""
+
+import os
+
+from mpm_flip98a_tpu.driver import main
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    main(
+        [
+            "--scenario", "dam2d_flip98",
+            "--frames", "1",
+            "--substeps", "5",
+            "--out", str(tmp_path),
+            "--no-gif",
+            "--checkpoint", str(tmp_path / "end.npz"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Run Time:" in out  # exec.py:31 parity
+    assert os.path.exists(tmp_path / "end.npz")
+    # Frame + VTK artifacts written by post_process.
+    dirs = os.listdir(tmp_path)
+    assert any(d.startswith("mov_") for d in dirs)
+    assert any(d.startswith("vtk_") for d in dirs)
+
+
+def test_cli_resume(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    main(
+        ["--scenario", "dam2d_flip98", "--frames", "1", "--substeps", "5",
+         "--out", str(tmp_path), "--no-gif", "--checkpoint", ck]
+    )
+    main(
+        ["--scenario", "dam2d_flip98", "--frames", "1", "--substeps", "5",
+         "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
+    )
+    assert "Run Time:" in capsys.readouterr().out
