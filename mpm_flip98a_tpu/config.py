@@ -121,6 +121,20 @@ class MPMConfig:
 
     numerical_tolerance: float = 1e-15            # config.py:23
 
+    def __post_init__(self):
+        # FLIP blending must pair with the PIC (non-affine) scatter: the
+        # FLIP delta re-adds the local velocity field that the APIC affine
+        # term already carried to the grid, double-counting it — measured
+        # to diverge within ~0.5 s of simulated time on the dam-break.
+        # The driver auto-pairs (driver.flip_sweep_scenes); reject the
+        # combination here so no config silently runs unstable physics.
+        if self.flip_blend > 0.0 and self.transfer == TransferKind.APIC:
+            raise ValueError(
+                "flip_blend > 0 requires transfer=TransferKind.PIC: the "
+                "FLIP delta blend double-counts the APIC affine velocity "
+                "field and diverges (pair alpha=0 with APIC instead)"
+            )
+
     # ---- derived quantities (reference: config.py:32-46) --------------
 
     @property

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpm_flip98a_tpu.config import EOSKind, MPMConfig, TransferKind
+from mpm_flip98a_tpu.config import EOSKind, KernelKind, MPMConfig, TransferKind
 from mpm_flip98a_tpu.models import materials as mat
 from mpm_flip98a_tpu.models.stabilized import PAD, Scene, _apply_wall_bc
 from mpm_flip98a_tpu.ops import binning
@@ -115,6 +115,20 @@ def _field_list(b: FluidBuckets):
     )
 
 
+def _safe_dead_slots(b: FluidBuckets) -> FluidBuckets:
+    """Give inactive slots physically neutral values (J = 1, F = I).
+
+    bucket_by_row zero-fills dead slots; zeros there hit the 1/J Tait EOS
+    power and the 1/|F00+F11, F10-F01| corotated polar normalisation, and
+    the resulting inf turns into NaN under the mask multiply (0 * inf).
+    Neutral fills keep every slot's math finite so masking works."""
+    on = b.mask > 0
+    one = lambda a: jnp.where(on, a, jnp.ones_like(a))
+    return dataclasses.replace(
+        b, J=one(b.J), F00=one(b.F00), F11=one(b.F11), jbar_s=one(b.jbar_s)
+    )
+
+
 def rebucket(b: FluidBuckets, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets:
     """Re-sort slots into their current base-row buckets (one XLA sort)."""
     r, k = b.shape
@@ -125,10 +139,12 @@ def rebucket(b: FluidBuckets, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets:
     fields, new_mask, overflow = binning.bucket_by_row(
         row, mask, flat, spec.rows, spec.capacity
     )
-    return FluidBuckets(
-        *fields,
-        mask=new_mask.astype(jnp.float32),
-        overflow=b.overflow + overflow,
+    return _safe_dead_slots(
+        FluidBuckets(
+            *fields,
+            mask=new_mask.astype(jnp.float32),
+            overflow=b.overflow + overflow,
+        )
     )
 
 
@@ -155,8 +171,8 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets
     fields, mask, overflow = binning.bucket_by_row(
         row, jnp.ones((n,), jnp.bool_), flat, spec.rows, spec.capacity
     )
-    return FluidBuckets(
-        *fields, mask=mask.astype(jnp.float32), overflow=overflow
+    return _safe_dead_slots(
+        FluidBuckets(*fields, mask=mask.astype(jnp.float32), overflow=overflow)
     )
 
 
@@ -179,6 +195,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     dx = float(cfg.dx)
     inv_dx = jnp.float32(cfg.inv_dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    tent = cfg.kernel == KernelKind.TENT
     r, k = b.shape
 
     gx0 = b.x0 * inv_dx + jnp.float32(PAD)
@@ -209,7 +226,10 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
                 p_point = -kb * (jeff - 1.0)
             else:
                 gamma = jnp.float32(scene.params.tait_gamma)
-                p_point = (kb / gamma) * ((1.0 / jeff) ** gamma - 1.0)
+                # Guard the power against degenerate J (belt to the dead-slot
+                # neutral-fill suspenders in _safe_dead_slots).
+                j_safe = jnp.maximum(jeff, jnp.float32(1e-3))
+                p_point = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
             p_point_out = p_point
             if ratio > 0.0:
                 pressure = ratio * b.p_s + (1.0 - ratio) * p_point
@@ -238,7 +258,10 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
             jf = b.F00 * b.F11 - b.F01 * b.F10
             px = b.F00 + b.F11
             py = b.F10 - b.F01
-            sc = 1.0 / jnp.sqrt(px * px + py * py)
+            # max() guards the polar normalisation against degenerate F
+            # (F = 0 only happens in unfixed dead slots, but a collapsed
+            # active F would hit the same 1/0).
+            sc = 1.0 / jnp.sqrt(jnp.maximum(px * px + py * py, jnp.float32(1e-12)))
             rc, rs = px * sc, py * sc
             d00, d01 = b.F00 - rc, b.F01 + rs
             d10, d11 = b.F10 - rs, b.F11 - rc
@@ -285,7 +308,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
 
     # ---- P2G ----------------------------------------------------------
-    gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx))  # (nch, G, G)
+    gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx, tent=tent))  # (nch, G, G)
     if grid_reduce is not None:
         # Multi-chip particle DP: merge per-chip partial grids over ICI
         # (parallel/fast_replicated.py passes a psum here).
@@ -326,10 +349,35 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
 
     # ---- G2P ----------------------------------------------------------
     pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)   # (R, 3, K)
-    out8 = tk.g2p(pdata2, counts, grid4, dx, dinv)   # (R, 8 or 11, K)
+    # B-spline: constant APIC D => C = Dinv * B folded in-kernel.  Tent:
+    # the kernel returns the raw B matrix (dinv = 1) and the per-particle
+    # D = sum w dpos dpos^T (elementwise in fx, no grid data needed) is
+    # inverted here — mirroring the general path's non-B-spline branch
+    # (models/stabilized.py "general kernels use the per-particle D").
+    out8 = tk.g2p(pdata2, counts, grid4, dx, 1.0 if tent else dinv, tent=tent)
     vpic0, vpic1 = out8[:, 0], out8[:, 1]
     vold0, vold1 = out8[:, 2], out8[:, 3]
     c00, c01, c10, c11 = out8[:, 4], out8[:, 5], out8[:, 6], out8[:, 7]
+    if tent:
+        dxf = jnp.float32(dx)
+
+        def axis_d(gx):
+            base = jnp.floor(gx - 0.5)
+            fx = gx - base
+            w = tk._axis_weights_tent(fx)
+            s1 = sum(w[i] * (i - fx) for i in range(3)) * dxf       # ~0
+            s2 = sum(w[i] * (i - fx) ** 2 for i in range(3)) * dxf * dxf
+            return s1, s2
+
+        s0_1, d00 = axis_d(gx0)
+        s1_1, d11 = axis_d(gx1)
+        d01 = s0_1 * s1_1
+        eps = jnp.float32(1e-12)
+        d00, d11 = d00 + eps, d11 + eps
+        det = d00 * d11 - d01 * d01
+        i00, i01, i11 = d11 / det, -d01 / det, d00 / det
+        c00, c01 = c00 * i00 + c01 * i01, c00 * i01 + c01 * i11
+        c10, c11 = c10 * i00 + c11 * i01, c10 * i01 + c11 * i11
 
     alpha = jnp.float32(cfg.flip_blend)
     nv0 = alpha * (b.v0 + vpic0 - vold0) + (1 - alpha) * vpic0

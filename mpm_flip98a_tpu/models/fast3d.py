@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpm_flip98a_tpu.config import EOSKind, MPMConfig, TransferKind
+from mpm_flip98a_tpu.config import EOSKind, KernelKind, MPMConfig, TransferKind
 from mpm_flip98a_tpu.models.stabilized import PAD, Scene, _apply_wall_bc
 from mpm_flip98a_tpu.ops import binning
 from mpm_flip98a_tpu.ops.pallas import transfer3d as tk3
@@ -103,6 +103,13 @@ def _pair_row(x0, x1, cfg: MPMConfig, spec: FastSpec3D):
     )
 
 
+def _safe_dead_slots(b: FluidBuckets3D) -> FluidBuckets3D:
+    """Neutral-fill inactive slots (J = 1): bucket_by_row zero-fills them,
+    and J = 0 blows up the Tait EOS 1/J power into inf -> masked NaN."""
+    on = b.mask > 0
+    return dataclasses.replace(b, J=jnp.where(on, b.J, jnp.ones_like(b.J)))
+
+
 def rebucket(b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D) -> FluidBuckets3D:
     flat = tuple(f.reshape(-1) for f in _field_list(b))
     mask = b.mask.reshape(-1) > 0
@@ -110,8 +117,10 @@ def rebucket(b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D) -> FluidBucket
     fields, new_mask, overflow = binning.bucket_by_row(
         row, mask, flat, spec.rows0 * spec.rows1, spec.capacity
     )
-    return FluidBuckets3D(
-        *fields, mask=new_mask.astype(jnp.float32), overflow=b.overflow + overflow
+    return _safe_dead_slots(
+        FluidBuckets3D(
+            *fields, mask=new_mask.astype(jnp.float32), overflow=b.overflow + overflow
+        )
     )
 
 
@@ -129,7 +138,9 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec3D) -> FluidBucke
     fields, mask, overflow = binning.bucket_by_row(
         row, jnp.ones((p.n,), jnp.bool_), flat, spec.rows0 * spec.rows1, spec.capacity
     )
-    return FluidBuckets3D(*fields, mask=mask.astype(jnp.float32), overflow=overflow)
+    return _safe_dead_slots(
+        FluidBuckets3D(*fields, mask=mask.astype(jnp.float32), overflow=overflow)
+    )
 
 
 def to_host(b: FluidBuckets3D) -> dict:
@@ -143,6 +154,11 @@ def to_host(b: FluidBuckets3D) -> dict:
 def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D:
     cfg = scene.cfg
     assert cfg.dim == 3
+    if cfg.kernel != KernelKind.BSPLINE:
+        raise NotImplementedError(
+            "fast3d implements the quadratic B-spline only; use the general "
+            "path (models/stabilized.py) for kernel=TENT in 3D"
+        )
     g = cfg.num_grids
     r0, r1 = spec.rows0, spec.rows1
     dt = jnp.float32(cfg.dt)
@@ -159,7 +175,9 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
         pressure = -kb * (b.J - 1.0)
     else:
         gamma = jnp.float32(scene.params.tait_gamma)
-        pressure = (kb / gamma) * ((1.0 / b.J) ** gamma - 1.0)
+        # Guarded against degenerate J (see fast2d._safe_dead_slots).
+        j_safe = jnp.maximum(b.J, jnp.float32(1e-3))
+        pressure = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
     cmat = [[getattr(b, f"C{a}{c}") for c in range(3)] for a in range(3)]
     div = cmat[0][0] + cmat[1][1] + cmat[2][2]
     vj = b.vol0 * b.J

@@ -81,6 +81,21 @@ def _axis_weights(fx):
     )
 
 
+def _axis_weights_tent(fx):
+    """Linear hat taps on the same 3-node stencil, fx in [0.5, 1.5)
+    (ops/weights.tent; reference switch config.py:21)."""
+    zero = jnp.zeros_like(fx)
+    return (
+        jnp.maximum(zero, 1.0 - fx),
+        1.0 - jnp.abs(fx - 1.0),
+        jnp.maximum(zero, fx - 1.0),
+    )
+
+
+def _taps(fx, tent: bool):
+    return _axis_weights_tent(fx) if tent else _axis_weights(fx)
+
+
 def _row_weights(rel, w0, valid, t):
     """Weight this bucket's particles put on target row offset t-1:
     sum_j [rel + j == t - 1] w0_j, zeroed for out-of-margin slots."""
@@ -95,7 +110,7 @@ def _row_weights(rel, w0, valid, t):
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, ext: bool):
+def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, ext: bool, tent: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -110,10 +125,10 @@ def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, e
     # sparse buckets then cost one predicate each.
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx, ext=ext)
+        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx, ext=ext, tent=tent)
 
 
-def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool):
+def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: bool):
     pd = pdata_ref[0]  # (14, KC)
     k = pd.shape[1]
     gx0, gx1 = pd[0], pd[1]
@@ -122,11 +137,11 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool):
     rel = base0 - i.astype(jnp.float32)
     valid = ((rel >= -1.0) & (rel <= 1.0)).astype(jnp.float32)
     fx0 = gx0 - base0
-    w0 = _axis_weights(fx0)
+    w0 = _taps(fx0, tent)
 
     base1 = jnp.floor(gx1 - 0.5)
     fx1 = gx1 - base1
-    w1 = _axis_weights(fx1)
+    w1 = _taps(fx1, tent)
 
     # Column one-hot weight matrix (K, G).
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, g), 1).astype(jnp.float32)
@@ -187,8 +202,10 @@ def _chunk(k: int) -> int:
     return k // nc
 
 
-@functools.partial(jax.jit, static_argnames=("g", "dx"))
-def p2g(pdata: jax.Array, counts: jax.Array, g: int, dx: float) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("g", "dx", "tent"))
+def p2g(
+    pdata: jax.Array, counts: jax.Array, g: int, dx: float, tent: bool = False
+) -> jax.Array:
     """pdata (R, 8 + nch, K), counts (R,) int32 -> (R, 5, nch, G).
 
     nch is inferred from pdata's field count: 14 rows = base channels,
@@ -209,7 +226,7 @@ def p2g(pdata: jax.Array, counts: jax.Array, g: int, dx: float) -> jax.Array:
         ),
     )
     return pl.pallas_call(
-        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc, ext=ext),
+        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc, ext=ext, tent=tent),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, NT, nch, g), jnp.float32),
         interpret=_interpret(),
@@ -230,7 +247,7 @@ def fold_rows(expanded: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float, kc: int, ext: bool):
+def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float, kc: int, ext: bool, tent: bool):
     out_ref = grid_refs_and_out[NT]
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -243,10 +260,10 @@ def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, di
 
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _g2p_chunk(pdata_ref, grid_refs_and_out, i, g=g, dx=dx, dinv=dinv, ext=ext)
+        _g2p_chunk(pdata_ref, grid_refs_and_out, i, g=g, dx=dx, dinv=dinv, ext=ext, tent=tent)
 
 
-def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: float, ext: bool):
+def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: float, ext: bool, tent: bool):
     grid_refs = grid_refs_and_out[:NT]
     out_ref = grid_refs_and_out[NT]
     pd = pdata_ref[0]  # (3, K)
@@ -257,10 +274,10 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
     rel = base0 - i.astype(jnp.float32)
     valid = mask * ((rel >= -1.0) & (rel <= 1.0)).astype(jnp.float32)
     fx0 = gx0 - base0
-    w0 = _axis_weights(fx0)
+    w0 = _taps(fx0, tent)
     base1 = jnp.floor(gx1 - 0.5)
     fx1 = gx1 - base1
-    w1 = _axis_weights(fx1)
+    w1 = _taps(fx1, tent)
 
     # Transposed one-hot weights (G, K): grid columns on sublanes, particle
     # slots on lanes — the result S then has channels on sublanes, so every
@@ -308,9 +325,14 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
         out_ref[0, ix, :] = vals
 
 
-@functools.partial(jax.jit, static_argnames=("dx", "dinv"))
+@functools.partial(jax.jit, static_argnames=("dx", "dinv", "tent"))
 def g2p(
-    pdata2: jax.Array, counts: jax.Array, grid4: jax.Array, dx: float, dinv: float
+    pdata2: jax.Array,
+    counts: jax.Array,
+    grid4: jax.Array,
+    dx: float,
+    dinv: float,
+    tent: bool = False,
 ) -> jax.Array:
     """pdata2 (R, 3, K), counts (R,) int32, grid4 (R, gch, G)
     channels-leading -> (R, 8 or 11, K).
@@ -347,7 +369,7 @@ def g2p(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc, ext=ext),
+        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc, ext=ext, tent=tent),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_out, k), jnp.float32),
         interpret=_interpret(),

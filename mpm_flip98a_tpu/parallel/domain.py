@@ -260,7 +260,11 @@ def migrate(
         return _set_rows(p, idx, rows, ok), jnp.sum(valid & jnp.logical_not(ok))
 
     p, lost1 = place(p, in_from_left, 0)
-    p, lost2 = place(p, in_from_right, M)
+    # Offset the second placement by the ACTUAL number of valid left-side
+    # arrivals (not the static buffer size M): otherwise up to M-1 free
+    # slots sit unused between the two groups and right-side arrivals get
+    # counted dropped even though room exists.
+    p, lost2 = place(p, in_from_right, jnp.sum(in_from_left[1]))
     return p, dropped + (overflow + lost1 + lost2).astype(jnp.int32)
 
 

@@ -21,8 +21,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' when missing — normalise so save('ck') and
+    load('ck') refer to the same file."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save(path: str, state: Any, meta: dict | None = None) -> None:
     """Write a pytree-dataclass of arrays to `<path>` (npz)."""
+    path = _npz_path(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fields = {
         f.name: np.asarray(getattr(state, f.name))
@@ -38,7 +45,7 @@ def save(path: str, state: Any, meta: dict | None = None) -> None:
 
 def load(path: str, state_type: Type) -> Any:
     """Restore a checkpoint written by `save` into `state_type`."""
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         manifest = json.loads(str(z["__manifest__"]))
         if manifest["type"] != state_type.__name__:
             raise ValueError(
@@ -51,5 +58,5 @@ def load(path: str, state_type: Type) -> Any:
 
 
 def load_meta(path: str) -> dict:
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         return json.loads(str(z["__manifest__"]))["meta"]

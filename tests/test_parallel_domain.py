@@ -10,7 +10,7 @@ import dataclasses
 import numpy as np
 import jax
 
-from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.config import MPMConfig, TransferKind
 from mpm_flip98a_tpu.models import scenes
 from mpm_flip98a_tpu.models.stabilized import run as run_single
 from mpm_flip98a_tpu.parallel import make_mesh
@@ -90,6 +90,7 @@ def test_domain_with_all_switches():
         use_fbar=True,
         pressure_mixing_ratio=0.5,
         flip_blend=0.98,
+        transfer=TransferKind.PIC,
         use_penalty_ebc=True,
     )
     p, scene, mesh, spec, state, perm = _setup(cfg)

@@ -10,7 +10,7 @@ import dataclasses
 import numpy as np
 import jax
 
-from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.config import MPMConfig, TransferKind
 from mpm_flip98a_tpu.models import scenes
 from mpm_flip98a_tpu.models.stabilized import run as run_single
 from mpm_flip98a_tpu.parallel import make_mesh
@@ -38,7 +38,8 @@ def test_replicated_matches_single_device():
 
 def test_replicated_with_all_switches():
     cfg = dataclasses.replace(
-        FAST, use_fbar=True, pressure_mixing_ratio=0.5, flip_blend=0.98
+        FAST, use_fbar=True, pressure_mixing_ratio=0.5, flip_blend=0.98,
+        transfer=TransferKind.PIC,
     )
     p, scene = scenes.dam_break_2d(cfg)
     mesh = make_mesh(8)

@@ -66,9 +66,16 @@ def test_first_substep_is_free_fall():
     np.testing.assert_allclose(np.asarray(p2.v)[interior, 0], 0.0, atol=1e-12)
 
 
-@pytest.mark.parametrize("transfer", [TransferKind.APIC, TransferKind.PIC])
+@pytest.mark.parametrize(
+    "transfer,flip",
+    [
+        (TransferKind.APIC, 0.0),
+        (TransferKind.PIC, 0.0),
+        # FLIP blend requires the PIC scatter (MPMConfig rejects FLIP+APIC).
+        (TransferKind.PIC, 0.98),
+    ],
+)
 @pytest.mark.parametrize("kernel", [KernelKind.BSPLINE, KernelKind.TENT])
-@pytest.mark.parametrize("flip", [0.0, 0.98])
 def test_switch_matrix_smoke(transfer, kernel, flip):
     p, scene = fast_scene(transfer=transfer, kernel=kernel, flip_blend=flip)
     p2 = run(p, scene, 50)
@@ -107,7 +114,8 @@ def test_dam_break_collapses_and_stays_bounded():
 
 def test_flip98_blend_definition():
     # alpha = 0 -> velocity is pure PIC (v == gathered grid velocity).
-    p, scene = fast_scene(flip_blend=0.0)
+    # Both runs use the PIC scatter (FLIP+APIC is rejected by MPMConfig).
+    p, scene = fast_scene(flip_blend=0.0, transfer=TransferKind.PIC)
     p0, _ = substep_grid(p, scene)
     # alpha = 0.98: v = 0.98 (v_old + dv) + 0.02 v_pic.  With v_old = 0,
     # reconstruct from the alpha = 0 run's PIC velocity and the deltas.
