@@ -211,7 +211,17 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     # separate projection pass, consistent explicit integration.
     ratio = float(cfg.pressure_mixing_ratio)
     ext = bool(cfg.use_fbar or ratio > 0.0)
-    jeff = b.jbar_s if cfg.use_fbar else b.J
+    # Semi-implicit lag correction: the nodal averages are one substep
+    # stale, and that pure delay destabilises the acoustic feedback when
+    # BOTH stabilizers are active (measured: stable CFL halves).  Advance
+    # each average by its known local rate over the lag interval —
+    # dJ/dt = J div(v), with div(v) = tr C from the latest gather — which
+    # removes the O(dt) phase error and restores the full stability
+    # region (scripts/exp_fused_dt.py).  At t = 0 div = 0, so the
+    # first-substep exactness vs the general path is preserved.
+    div_lag = b.C00 + b.C11
+    jbar_adv = b.jbar_s * (1.0 + dt * div_lag) if ext else b.jbar_s
+    jeff = jbar_adv if cfg.use_fbar else b.J
     vj = b.vol0 * jeff
     p_point_out = jnp.zeros_like(b.J)
     tau00 = jnp.zeros_like(b.J)
@@ -232,7 +242,13 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
                 p_point = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
             p_point_out = p_point
             if ratio > 0.0:
-                pressure = ratio * b.p_s + (1.0 - ratio) * p_point
+                # Lag correction for the projected pressure: dp/dt =
+                # dp/dJ * J * div with dp/dJ from the EOS at jeff.
+                if scene.params.eos == EOSKind.LINEAR:
+                    dp_dt = -kb * jeff * div_lag
+                else:
+                    dp_dt = -kb * (1.0 / j_safe) ** gamma * div_lag
+                pressure = ratio * (b.p_s + dt * dp_dt) + (1.0 - ratio) * p_point
             else:
                 pressure = p_point
             div = b.C00 + b.C11

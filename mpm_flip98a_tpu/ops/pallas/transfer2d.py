@@ -242,6 +242,20 @@ def fold_rows(expanded: jax.Array) -> jax.Array:
     return jnp.moveaxis(buf[1 : r + 1], 1, 0)
 
 
+def fold_rows_halo(expanded: jax.Array) -> jax.Array:
+    """(R, 5, ch, G) -> (ch, R + 4, G): like fold_rows but UNcropped.
+
+    Row j of the result is target row j - 1 relative to bucket row 0 —
+    i.e. global rows [lo - 1, lo + R + 3) for a slab whose first bucket
+    row is lo.  The slab-sharded fast path (parallel/fast_domain.py)
+    halo-exchanges these edge rows instead of cropping them."""
+    r, nt, ch, g = expanded.shape
+    buf = jnp.zeros((r + nt - 1, ch, g), expanded.dtype)
+    for t in range(nt):
+        buf = buf.at[t : t + r].add(expanded[:, t])
+    return jnp.moveaxis(buf, 1, 0)
+
+
 # ---------------------------------------------------------------------------
 # G2P
 # ---------------------------------------------------------------------------

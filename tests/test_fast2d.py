@@ -151,6 +151,26 @@ def test_fused_fbar_mixing_tracks_stabilized_statistically():
     assert int(b.overflow) == 0
 
 
+def test_fused_fbar_mixing_stable_at_full_cfl():
+    # Round-1 regression: the one-substep lag on the nodal averages halved
+    # the stable dt when BOTH stabilizers were active (diverged by ~1500
+    # substeps at dt = 4e-5, CFL ~0.3).  The semi-implicit lag correction
+    # (advance jbar_s / p_s by their local rates) restores the full
+    # stability region — this dt must now hold for a long collapse.
+    cfg = dataclasses.replace(
+        FAST, dt=4e-5, use_fbar=True, pressure_mixing_ratio=0.5
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.run(fast2d.from_particles(p, cfg, spec), scene, spec, 2500)
+    h = fast2d.to_host(b)
+    x = np.stack([h["x0"], h["x1"]], -1)
+    assert np.isfinite(x).all() and x.shape[0] == p.n
+    assert (x > -cfg.dx).all() and (x < cfg.domain_length + cfg.dx).all()
+    assert np.abs(h["J"] - 1.0).max() < 0.2
+    assert int(b.overflow) == 0
+
+
 def test_fused_stabilization_first_step_matches_exactly():
     # At t = 0 the lagged averages equal their pointwise values (J = 1,
     # p = 0, div = 0), so the FIRST substep must match the general path
