@@ -185,9 +185,14 @@ def to_host(b: FluidBuckets) -> dict:
     return out
 
 
-def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
+def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> FluidBuckets:
     """One fast substep; numerics mirror models/stabilized.py substep_grid
-    restricted to the fluid feature set."""
+    restricted to the fluid feature set.
+
+    `domain` (parallel/fast_domain.FastDomainCtx) runs the same physics on
+    a slab shard: bucket rows are a LOCAL window of the global grid, the
+    folded P2G edge rows ride a halo exchange instead of being cropped,
+    and the wall masks use global row indices."""
     cfg = scene.cfg
     assert cfg.dim == 2
     g = cfg.num_grids
@@ -200,6 +205,16 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
 
     gx0 = b.x0 * inv_dx + jnp.float32(PAD)
     gx1 = b.x1 * inv_dx + jnp.float32(PAD)
+    if domain is not None:
+        # Kernel row coordinates are local to the slab: bucket row i holds
+        # particles with global base row ~ lo + i.
+        lo = jax.lax.axis_index(domain.axis) * r
+        gx0 = gx0 - lo.astype(jnp.float32)
+        row_index0 = lo - 1 + jnp.arange(r + 4)
+        grid_shape = (r + 4, g)
+    else:
+        row_index0 = None
+        grid_shape = None
 
     # ---- stress: component-form material dispatch ----------------------
     # Same models as models/materials.py, written on (R, K) component
@@ -324,7 +339,14 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
 
     # ---- P2G ----------------------------------------------------------
-    gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx, tent=tent))  # (nch, G, G)
+    if domain is not None:
+        # Slab shard: keep the fold's edge rows and trade them with the
+        # neighbor shards (reduce partial sums in, gather completed rows
+        # back); afterwards all r + 4 local rows hold global sums and the
+        # grid update below is purely local.
+        gridsum = domain.halo_sync(tk.fold_rows_halo(tk.p2g(pdata, counts, g, dx, tent=tent)))
+    else:
+        gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx, tent=tent))  # (nch, G, G)
     if grid_reduce is not None:
         # Multi-chip particle DP: merge per-chip partial grids over ICI
         # (parallel/fast_replicated.py passes a psum here).
@@ -341,7 +363,9 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
         from mpm_flip98a_tpu.models.stabilized import _wall_normal_diag
 
         beta = jnp.float32(cfg.penalty_parameter(scene.physics))
-        pen = jnp.moveaxis(_wall_normal_diag(cfg, jnp.float32), -1, 0)  # (2, G, G)
+        pen = jnp.moveaxis(
+            _wall_normal_diag(cfg, jnp.float32, grid_shape, row_index0), -1, 0
+        )  # (2, G, G) / (2, L + 4, G) on a slab
         rhs = gridsum[2:4] + dt * g_m[None] * grav[:, None, None]
         vng = jnp.where(has[None], rhs / (g_m[None] + dt * beta * pen), 0.0)
         v_new = jnp.moveaxis(vng, 0, -1)
@@ -349,7 +373,9 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
         vng = jnp.where(has, gridsum[2:4] / safe, 0.0)
         vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
         # Wall BCs operate on the (G, G, 2) trailing layout.
-        v_new = _apply_wall_bc(jnp.moveaxis(vng, 0, -1), cfg, scene.wall)
+        v_new = _apply_wall_bc(
+            jnp.moveaxis(vng, 0, -1), cfg, scene.wall, grid_shape, row_index0
+        )
     gparts = [jnp.moveaxis(v_new, -1, 0), v0g]
     if ext:
         # Nodal averages for the NEXT substep's stress: Jbar, p, div.
@@ -370,7 +396,10 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     # D = sum w dpos dpos^T (elementwise in fx, no grid data needed) is
     # inverted here — mirroring the general path's non-B-spline branch
     # (models/stabilized.py "general kernels use the per-particle D").
-    out8 = tk.g2p(pdata2, counts, grid4, dx, 1.0 if tent else dinv, tent=tent)
+    out8 = tk.g2p(
+        pdata2, counts, grid4, dx, 1.0 if tent else dinv, tent=tent,
+        prepadded=domain is not None,
+    )
     vpic0, vpic1 = out8[:, 0], out8[:, 1]
     vold0, vold1 = out8[:, 2], out8[:, 3]
     c00, c01, c10, c11 = out8[:, 4], out8[:, 5], out8[:, 6], out8[:, 7]
@@ -438,17 +467,18 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None) -> FluidBuckets:
     )
 
 
-def _needs_rebucket(b: FluidBuckets, cfg: MPMConfig) -> jax.Array:
+def _needs_rebucket(b: FluidBuckets, cfg: MPMConfig, row0=0) -> jax.Array:
     """True when any active slot approaches the kernels' +-1-row margin.
 
     Post-rebucket every slot has gx0 - 0.5 - bucket_row in [0, 1); the
     kernels stay exact while it remains in [-1, 2).  Trigger with a 0.2-row
     safety band so the check (cheap elementwise max, every substep) always
-    fires before the margin is violated."""
+    fires before the margin is violated.  `row0` is the global row of
+    bucket 0 on a slab shard (parallel/fast_domain.py)."""
     r, k = b.shape
     gx0 = b.x0 * jnp.float32(cfg.inv_dx) + jnp.float32(PAD)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r, k), 0).astype(jnp.float32)
-    d = gx0 - 0.5 - rows
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (r, k), 0)
+    d = gx0 - 0.5 - rows.astype(jnp.float32)
     d = jnp.where(b.mask > 0, d, 0.5)
     return jnp.any((d <= -0.8) | (d >= 1.8))
 

@@ -339,7 +339,7 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
         out_ref[0, ix, :] = vals
 
 
-@functools.partial(jax.jit, static_argnames=("dx", "dinv", "tent"))
+@functools.partial(jax.jit, static_argnames=("dx", "dinv", "tent", "prepadded"))
 def g2p(
     pdata2: jax.Array,
     counts: jax.Array,
@@ -347,6 +347,7 @@ def g2p(
     dx: float,
     dinv: float,
     tent: bool = False,
+    prepadded: bool = False,
 ) -> jax.Array:
     """pdata2 (R, 3, K), counts (R,) int32, grid4 (R, gch, G)
     channels-leading -> (R, 8 or 11, K).
@@ -354,7 +355,9 @@ def g2p(
     gch = 4 (base: v_new, v0) or 7 (extended: + Jbar, p, div — the fused
     stabilization read-back).  grid4 rows are the UNPADDED grid; padding to
     (R+4, gch, G) happens here so the 5 overlapping row windows exist.
-    """
+    With prepadded=True, grid4 is ALREADY the (R+4, gch, G) halo buffer
+    (row j = bucket-relative target row j - 1) — the slab-sharded fast
+    path passes its halo-synced buffer directly."""
     r, _, k = pdata2.shape
     gch = grid4.shape[1]
     assert gch in (G2P_CH, G2P_CH_EXT), grid4.shape
@@ -362,8 +365,12 @@ def g2p(
     n_out = 8 + (gch - G2P_CH)
     g = grid4.shape[2]
     kc = _chunk(k)
-    padded = jnp.zeros((r + NT - 1, gch, g), grid4.dtype)
-    padded = padded.at[1 : r + 1].set(grid4)
+    if prepadded:
+        assert grid4.shape[0] == r + NT - 1, (grid4.shape, r)
+        padded = grid4
+    else:
+        padded = jnp.zeros((r + NT - 1, gch, g), grid4.dtype)
+        padded = padded.at[1 : r + 1].set(grid4)
 
     grid_specs = [
         pl.BlockSpec(
