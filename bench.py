@@ -11,7 +11,8 @@ Prints ONE JSON line:
 
 Env knobs:
   BENCH_SMALL=1      tiny CPU-friendly smoke configuration
-  BENCH_3D=1         3D pencil-bucket path (1M particles, 128^3;
+  BENCH_3D=1         3D pencil-bucket path (8M particles, 256^3 - the full
+                     BASELINE scale; BENCH_3D_SMALL=1 for 1M/128^3;
                      secondary metric — the headline metric is 2D)
   BENCH_SUBSTEPS=n   override timed substeps (default 200)
 """
@@ -68,9 +69,13 @@ def main3d(n_sub: int):
 
     from mpm_flip98a_tpu.models import fast3d, scenes
 
-    p, scene = scenes.slab_3d()
+    if os.environ.get("BENCH_3D_SMALL") == "1":
+        p, scene = scenes.slab_3d()  # 1M / 128^3
+    else:
+        # Full BASELINE.json configs[3] scale: 8M particles, 256^3 grid.
+        p, scene = scenes.slab_3d(num_grids=256, particles_per_axis=(512, 512, 32))
     spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=1.5)
-    b = fast3d.from_particles(p, scene.cfg, spec)
+    b = jax.jit(lambda q: fast3d.from_particles(q, scene.cfg, spec))(p)
     b = fast3d.run(b, scene, spec, n_sub)
     float(jnp.sum(b.x0))
     t0 = time.perf_counter()
@@ -98,9 +103,71 @@ def main3d(n_sub: int):
     )
 
 
+def main_multichip(n_sub: int):
+    """Sharded fast path on the virtual 8-device CPU mesh: a recorded
+    scaling-sanity artifact (CPU timing is meaningless; the evidence is the
+    executed decomposition + the analytic comm-volume split)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+    from mpm_flip98a_tpu.config import MPMConfig, TransferKind
+    from mpm_flip98a_tpu.models import fast2d, scenes
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel import fast_domain
+
+    n_dev = 8
+    cfg = MPMConfig(
+        dtype="float32", num_grids=129, dt=1e-5,
+        num_particles_x=128, num_particles_y=256,
+        fluid_width=0.42, fluid_height=0.21,
+        flip_blend=0.98, transfer=TransferKind.PIC,
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    mesh = make_mesh(n_dev)
+    spec = fast_domain.FastDomainSpec.for_particles(cfg, n_dev, p, headroom=2.0)
+    b = fast_domain.distribute(p, cfg, spec, mesh)
+    out = fast_domain.make_run(scene, spec, mesh)(b, n_sub)
+    assert int(np.asarray(out.overflow).sum()) == 0
+    h = fast_domain.fast2d.to_host(out)
+    assert h["x0"].shape[0] == p.n and np.isfinite(h["x0"]).all()
+
+    g = cfg.num_grids
+    nch = 6
+    halo_rows = 2 * (fast_domain.H_LO + fast_domain.H_HI)  # reduce + gather
+    halo_bytes = halo_rows * nch * g * 4
+    allreduce_bytes = 2 * nch * g * g * 4  # ring all-reduce equivalent
+    print(
+        json.dumps(
+            {
+                "metric": "multichip_halo_comm_bytes_per_substep",
+                "value": halo_bytes,
+                "unit": "bytes/substep/chip",
+                "vs_baseline": halo_bytes / allreduce_bytes,
+                "detail": {
+                    "mode": "slab-sharded fast path, 8-device CPU mesh",
+                    "particles": p.n,
+                    "grid": g,
+                    "substeps_executed": n_sub,
+                    "n_shards": n_dev,
+                    "overflow": 0,
+                    "grid_allreduce_bytes_equivalent": allreduce_bytes,
+                    "halo_fraction_of_allreduce": round(
+                        halo_bytes / allreduce_bytes, 5
+                    ),
+                },
+            }
+        )
+    )
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n_sub = int(os.environ.get("BENCH_SUBSTEPS", "16" if small else "200"))
+    if os.environ.get("BENCH_MULTICHIP") == "1":
+        return main_multichip(min(n_sub, 100))
     if os.environ.get("BENCH_3D") == "1":
         return main3d(min(n_sub, 50))
 

@@ -125,8 +125,7 @@ class Simulation:
         reference's impact-block palette, mls-mpm88-explained.cpp:194,199)."""
         if self.path == "fast":
             h = self._fast.to_host(self.state)
-            # fast3d buckets are fluid-only (no material channel yet).
-            mats = h.get("mat", np.zeros(len(h["x0"]))).astype(np.int64)
+            mats = h["mat"].astype(np.int64)
         else:
             mats = np.asarray(self.state.material)
         palette = np.array(

@@ -1,12 +1,19 @@
-"""Fast 3D fluid solver: pencil-bucketed Pallas path.
+"""Fast 3D solver: pencil-bucketed Pallas path.
 
 3D counterpart of models/fast2d.py for the BASELINE.json configs[3]
 workload (3D free-surface flow, 8M particles, 256^3 grid, quadratic
-B-spline transfers): weakly-compressible FLIP98A fluid, APIC/PIC transfer,
-slip/sticky box.  Particles live in (R0 x R1, K) pencil buckets — one
+B-spline transfers).  Particles live in (R0 x R1, K) pencil buckets — one
 bucket per (x, y) grid line — processed by the 3D Pallas kernels
 (ops/pallas/transfer3d.py); rebucketing is adaptive on the two bucketed
 axes exactly like the 2D path.
+
+Feature switches covered (round 2, mirroring fast2d.py): APIC/PIC
+transfer, FLIP blend, linear/Tait EOS, slip/sticky walls, penalty EBC,
+fused F-bar / pressure-mixing stabilization with the semi-implicit lag
+correction, and multi-material dispatch (weakly-compressible fluid,
+neo-Hookean, fixed corotated with a component-form scaled-Newton polar
+matching ops/mathx.polar_decomp_3d).  kernel=TENT stays general-path-only
+in 3D.
 """
 
 from __future__ import annotations
@@ -20,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from mpm_flip98a_tpu.config import EOSKind, KernelKind, MPMConfig, TransferKind
-from mpm_flip98a_tpu.models.stabilized import PAD, Scene, _apply_wall_bc
+from mpm_flip98a_tpu.models import materials as mat
+from mpm_flip98a_tpu.models.stabilized import PAD, Scene
 from mpm_flip98a_tpu.ops import binning
 from mpm_flip98a_tpu.ops.pallas import transfer3d as tk3
 from mpm_flip98a_tpu.state import Particles
@@ -32,12 +40,9 @@ def _pytree_dataclass(cls):
     return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
 
 
-_C_NAMES = tuple(f"C{a}{b}" for a in range(3) for b in range(3))
-
-
 @_pytree_dataclass
 class FluidBuckets3D:
-    """Pencil-bucketed 3D fluid state; every field (R0 * R1, K) f32."""
+    """Pencil-bucketed 3D state; every field (R0 * R1, K) f32 (mat int32)."""
 
     x0: jax.Array
     x1: jax.Array
@@ -54,9 +59,24 @@ class FluidBuckets3D:
     C20: jax.Array
     C21: jax.Array
     C22: jax.Array
+    F00: jax.Array
+    F01: jax.Array
+    F02: jax.Array
+    F10: jax.Array
+    F11: jax.Array
+    F12: jax.Array
+    F20: jax.Array
+    F21: jax.Array
+    F22: jax.Array
     J: jax.Array
     mass: jax.Array
     vol0: jax.Array
+    mat: jax.Array       # int32 material id (models/materials.py)
+    # Fused-stabilization state (lag-corrected nodal averages; only
+    # meaningful when use_fbar / pressure mixing is on):
+    jbar_s: jax.Array
+    p_s: jax.Array
+    div_s: jax.Array
     mask: jax.Array
     overflow: jax.Array
 
@@ -89,7 +109,9 @@ def _field_list(b: FluidBuckets3D):
     return (
         b.x0, b.x1, b.x2, b.v0, b.v1, b.v2,
         b.C00, b.C01, b.C02, b.C10, b.C11, b.C12, b.C20, b.C21, b.C22,
-        b.J, b.mass, b.vol0,
+        b.F00, b.F01, b.F02, b.F10, b.F11, b.F12, b.F20, b.F21, b.F22,
+        b.J, b.mass, b.vol0, b.mat,
+        b.jbar_s, b.p_s, b.div_s,
     )
 
 
@@ -104,10 +126,15 @@ def _pair_row(x0, x1, cfg: MPMConfig, spec: FastSpec3D):
 
 
 def _safe_dead_slots(b: FluidBuckets3D) -> FluidBuckets3D:
-    """Neutral-fill inactive slots (J = 1): bucket_by_row zero-fills them,
-    and J = 0 blows up the Tait EOS 1/J power into inf -> masked NaN."""
+    """Neutral-fill inactive slots (J = 1, F = I): bucket_by_row zero-fills
+    them, and zeros blow up the Tait 1/J power and the corotated polar into
+    inf -> masked NaN (0 * inf)."""
     on = b.mask > 0
-    return dataclasses.replace(b, J=jnp.where(on, b.J, jnp.ones_like(b.J)))
+    one = lambda a: jnp.where(on, a, jnp.ones_like(a))
+    return dataclasses.replace(
+        b, J=one(b.J), F00=one(b.F00), F11=one(b.F11), F22=one(b.F22),
+        jbar_s=one(b.jbar_s),
+    )
 
 
 def rebucket(b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D) -> FluidBuckets3D:
@@ -129,14 +156,21 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec3D) -> FluidBucke
     x = to32(p.x)
     v = to32(p.v)
     c = to32(p.C)
+    f = to32(p.F)
+    n = p.n
     flat = (
         x[:, 0], x[:, 1], x[:, 2], v[:, 0], v[:, 1], v[:, 2],
         *(c[:, a, b2] for a in range(3) for b2 in range(3)),
+        *(f[:, a, b2] for a in range(3) for b2 in range(3)),
         to32(p.J), to32(p.mass), to32(p.volume0),
+        p.material.astype(jnp.int32),
+        to32(p.J),                      # jbar_s init = J
+        jnp.zeros((n,), jnp.float32),   # p_s
+        jnp.zeros((n,), jnp.float32),   # div_s
     )
     row = _pair_row(flat[0], flat[1], cfg, spec)
     fields, mask, overflow = binning.bucket_by_row(
-        row, jnp.ones((p.n,), jnp.bool_), flat, spec.rows0 * spec.rows1, spec.capacity
+        row, jnp.ones((n,), jnp.bool_), flat, spec.rows0 * spec.rows1, spec.capacity
     )
     return _safe_dead_slots(
         FluidBuckets3D(*fields, mask=mask.astype(jnp.float32), overflow=overflow)
@@ -146,9 +180,157 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec3D) -> FluidBucke
 def to_host(b: FluidBuckets3D) -> dict:
     mask = np.asarray(b.mask) > 0
     out = {}
-    for name in ("x0", "x1", "x2", "v0", "v1", "v2", "J", "mass"):
+    for name in ("x0", "x1", "x2", "v0", "v1", "v2", "J", "mass", "mat"):
         out[name] = np.asarray(getattr(b, name))[mask]
     return out
+
+
+def _axis_bands(cfg: MPMConfig):
+    """(low, high) wall-band masks per axis, broadcastable against the
+    channel-layout grid (G0, G1, ch, G2) — same node sets as
+    models/stabilized._apply_wall_bc (box faces at PAD / G-1-PAD)."""
+    g = cfg.num_grids
+    lo, hi = int(PAD), g - 1 - int(PAD)
+    idx = jnp.arange(g)
+    shapes = [(g, 1, 1, 1), (1, g, 1, 1), (1, 1, 1, g)]
+    return [
+        ((idx <= lo).reshape(s), (idx >= hi).reshape(s)) for s in shapes
+    ]
+
+
+def _wall_bc_ch(v: jax.Array, cfg: MPMConfig, wall) -> jax.Array:
+    """Slip/sticky walls on a channel-layout velocity grid (G0, G1, 3, G2);
+    semantics identical to models/stabilized._apply_wall_bc."""
+    bands = _axis_bands(cfg)
+    if wall.kind == "sticky":
+        anyband = jnp.zeros((), jnp.bool_)
+        for low, high in bands:
+            anyband = anyband | low | high
+        return jnp.where(anyband, 0.0, v)
+    parts = []
+    for a, (low, high) in enumerate(bands):
+        va = v[:, :, a : a + 1]
+        va = jnp.where(low, jnp.maximum(va, 0.0), va)
+        va = jnp.where(high, jnp.minimum(va, 0.0), va)
+        parts.append(va)
+    return jnp.concatenate(parts, axis=2)
+
+
+def _wall_normal_diag_ch(cfg: MPMConfig) -> jax.Array:
+    """sum_walls n (x) n diagonal in channel layout (G0, G1, 3, G2);
+    semantics identical to models/stabilized._wall_normal_diag."""
+    g = cfg.num_grids
+    diag = [
+        jnp.broadcast_to((low | high), (g, g, 1, g)).astype(jnp.float32)
+        for low, high in _axis_bands(cfg)
+    ]
+    return jnp.concatenate(diag, axis=2)
+
+
+def _polar3d_rows(F, iters: int = 12):
+    """Component-form 3D polar rotation factor (same scaled Newton
+    iteration as ops/mathx.polar_decomp_3d, on (S, K) component arrays —
+    stacking (S, K, 3, 3) temporaries would pad the 3x3 trailing dims to
+    full TPU tiles).  F is a 9-list [F00..F22]; returns the 9-list R."""
+    r = list(F)
+
+    def cof(m):
+        # Cofactor matrix (row-major 9-list): cof[3a+c] = d inv-transpose.
+        c = [None] * 9
+        c[0] = m[4] * m[8] - m[5] * m[7]
+        c[1] = m[5] * m[6] - m[3] * m[8]
+        c[2] = m[3] * m[7] - m[4] * m[6]
+        c[3] = m[2] * m[7] - m[1] * m[8]
+        c[4] = m[0] * m[8] - m[2] * m[6]
+        c[5] = m[1] * m[6] - m[0] * m[7]
+        c[6] = m[1] * m[5] - m[2] * m[4]
+        c[7] = m[2] * m[3] - m[0] * m[5]
+        c[8] = m[0] * m[4] - m[1] * m[3]
+        return c
+
+    tiny = jnp.float32(np.finfo(np.float32).tiny)
+    for _ in range(iters):
+        c = cof(r)
+        det = r[0] * c[0] + r[1] * c[1] + r[2] * c[2]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > tiny, det, 1.0)
+        rit = [ci * inv_det for ci in c]  # R^{-T} = cof(R) / det
+        a = sum(x * x for x in rit)
+        bb = sum(x * x for x in r)
+        gamma = jnp.sqrt(jnp.sqrt(a / jnp.maximum(bb, tiny)))
+        inv_g = 1.0 / gamma
+        r = [0.5 * (gamma * r[i] + inv_g * rit[i]) for i in range(9)]
+    return r
+
+
+def _grid_update(gs: jax.Array, scene: Scene, ext: bool) -> jax.Array:
+    """Grid momentum update on the fold's (G0, G1, nch, G2) layout —
+    transpose-free (fold_rows0 already emits the G2P grid layout; the
+    moveaxis-based version cost ~30 ms/substep at 256^3)."""
+    cfg = scene.cfg
+    dt = jnp.float32(cfg.dt)
+    g_m = gs[:, :, 6]                              # (G0, G1, G2)
+    has = g_m > 0
+    safe = jnp.where(has, g_m, 1.0)
+    hc = has[:, :, None]
+    v0g = jnp.where(hc, gs[:, :, 0:3] / safe[:, :, None], 0.0)
+    grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
+    gravc = grav[None, None, :, None]
+    if cfg.use_penalty_ebc:
+        # Implicit normal-velocity penalty, diagonal for the axis-aligned
+        # box (same formulation as models/stabilized.py / fast2d.py).
+        beta = jnp.float32(cfg.penalty_parameter(scene.physics))
+        pen = _wall_normal_diag_ch(cfg)            # (G0, G1, 3, G2)
+        rhs = gs[:, :, 3:6] + dt * g_m[:, :, None] * gravc
+        v_new = jnp.where(
+            hc, rhs / (g_m[:, :, None] + dt * beta * pen), 0.0
+        )
+    else:
+        vng = jnp.where(hc, gs[:, :, 3:6] / safe[:, :, None], 0.0)
+        vng = vng + dt * gravc * hc.astype(jnp.float32)
+        v_new = _wall_bc_ch(vng, cfg, scene.wall)
+    gparts = [v_new, v0g]
+    if ext:
+        v0sum = gs[:, :, 8]
+        has_v = (v0sum > 0)[:, :, None]
+        safe_v = jnp.where(has_v, gs[:, :, 8:9], 1.0)
+        gparts.append(
+            jnp.concatenate(
+                [
+                    jnp.where(has_v, gs[:, :, 7:8] / safe_v, 1.0),    # Jbar
+                    jnp.where(has_v, gs[:, :, 9:10] / safe_v, 0.0),   # p
+                    jnp.where(has_v, gs[:, :, 10:11] / safe_v, 0.0),  # div
+                ],
+                axis=2,
+            )
+        )
+    return jnp.concatenate(gparts, axis=2)
+
+
+def _finish_substep(
+    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts
+) -> FluidBuckets3D:
+    """Fused tail of the single-fluid substep: grid update + the
+    update-mode G2P (FLIP blend / advect / J update in-kernel)."""
+    cfg = scene.cfg
+    r0, r1, k = spec.rows0, spec.rows1, spec.capacity
+    dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    grid_ch = _grid_update(tk3.fold_rows0(expanded), scene, ext=False)
+    shaped = lambda a: a.reshape(r0, r1, k)
+    out = tk3.g2p3d(
+        shaped(b.x0), shaped(b.x1), shaped(b.x2), shaped(b.mask),
+        counts, grid_ch, float(cfg.dx), dinv, float(cfg.inv_dx), float(PAD),
+        state=(shaped(b.v0), shaped(b.v1), shaped(b.v2), shaped(b.J)),
+        alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
+    ).reshape(r0 * r1, tk3.G2P_UPD, k)
+    return dataclasses.replace(
+        b,
+        x0=out[:, 0], x1=out[:, 1], x2=out[:, 2],
+        v0=out[:, 3], v1=out[:, 4], v2=out[:, 5],
+        C00=out[:, 6], C01=out[:, 7], C02=out[:, 8],
+        C10=out[:, 9], C11=out[:, 10], C12=out[:, 11],
+        C20=out[:, 12], C21=out[:, 13], C22=out[:, 14],
+        J=out[:, 15],
+    )
 
 
 def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D:
@@ -161,36 +343,127 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
         )
     g = cfg.num_grids
     r0, r1 = spec.rows0, spec.rows1
+    k = spec.capacity
     dt = jnp.float32(cfg.dt)
     dx = float(cfg.dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
-    inv_dx = jnp.float32(cfg.inv_dx)
+    apic = cfg.transfer == TransferKind.APIC
 
-    gx = [b.x0 * inv_dx + PAD, b.x1 * inv_dx + PAD, b.x2 * inv_dx + PAD]
-
-    # ---- fluid stress --------------------------------------------------
-    kb = jnp.float32(scene.params.bulk_modulus)
-    mu = jnp.float32(scene.params.dynamic_viscosity)
-    if scene.params.eos == EOSKind.LINEAR:
-        pressure = -kb * (b.J - 1.0)
-    else:
-        gamma = jnp.float32(scene.params.tait_gamma)
-        # Guarded against degenerate J (see fast2d._safe_dead_slots).
-        j_safe = jnp.maximum(b.J, jnp.float32(1e-3))
-        pressure = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
     cmat = [[getattr(b, f"C{a}{c}") for c in range(3)] for a in range(3)]
-    div = cmat[0][0] + cmat[1][1] + cmat[2][2]
-    vj = b.vol0 * b.J
-    tau = [[None] * 3 for _ in range(3)]
-    for a in range(3):
-        for c in range(3):
-            e_ac = 0.5 * (cmat[a][c] + cmat[c][a])
-            dev = e_ac - (div / 3.0 if a == c else 0.0)
-            tau[a][c] = vj * ((-pressure if a == c else 0.0) + 2.0 * mu * dev)
+    fmat = [getattr(b, f"F{a}{c}") for a in range(3) for c in range(3)]
+    div_lag = cmat[0][0] + cmat[1][1] + cmat[2][2]
+    shaped = lambda a: a.reshape(r0, r1, k)
+    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
+
+    # ---- stress: component-form material dispatch (fast2d.py pattern) --
+    ratio = float(cfg.pressure_mixing_ratio)
+    ext = bool(cfg.use_fbar or ratio > 0.0)
+    # Single-fluid non-stabilized configs (the BASELINE headline workload)
+    # run FULLY fused: stress inside P2G, particle update inside G2P — no
+    # slot-sized XLA pass pays the capacity/occupancy padding (~3.7x at
+    # the 8M slab).
+    fused = (
+        scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,) and not ext
+    )
+    if fused:
+        fields = (
+            shaped(b.x0), shaped(b.x1), shaped(b.x2),
+            shaped(b.v0), shaped(b.v1), shaped(b.v2),
+            *(shaped(cmat[a][c]) for a in range(3) for c in range(3)),
+            shaped(b.J), shaped(b.mass), shaped(b.vol0),
+        )
+        eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
+        expanded = tk3.p2g3d(
+            fields, counts, g, g, dx, float(cfg.inv_dx), float(PAD),
+            apic=apic, stress=eos_name,
+            kb=float(scene.params.bulk_modulus),
+            mu=float(scene.params.dynamic_viscosity),
+            gamma=float(scene.params.tait_gamma),
+            fa=float(-cfg.dt * dinv),
+        )
+        return _finish_substep(b, scene, spec, expanded, counts)
+    # Semi-implicit lag correction on the fused nodal averages (see
+    # fast2d.substep: advance by the known local rates; div = tr C).
+    jbar_adv = b.jbar_s * (1.0 + dt * div_lag) if ext else b.jbar_s
+    jeff = jbar_adv if cfg.use_fbar else b.J
+    vj = b.vol0 * jeff
+    p_point_out = jnp.zeros_like(b.J)
+    tau = [[jnp.zeros_like(b.J) for _ in range(3)] for _ in range(3)]
+    for mid in scene.materials_present:
+        t = [[None] * 3 for _ in range(3)]
+        if mid == mat.WEAKLY_COMPRESSIBLE_FLUID:
+            kb = jnp.float32(scene.params.bulk_modulus)
+            mu = jnp.float32(scene.params.dynamic_viscosity)
+            if scene.params.eos == EOSKind.LINEAR:
+                p_point = -kb * (jeff - 1.0)
+            else:
+                gamma = jnp.float32(scene.params.tait_gamma)
+                j_safe = jnp.maximum(jeff, jnp.float32(1e-3))
+                p_point = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
+            p_point_out = p_point
+            if ratio > 0.0:
+                if scene.params.eos == EOSKind.LINEAR:
+                    dp_dt = -kb * jeff * div_lag
+                else:
+                    dp_dt = -kb * (1.0 / j_safe) ** gamma * div_lag
+                pressure = ratio * (b.p_s + dt * dp_dt) + (1.0 - ratio) * p_point
+            else:
+                pressure = p_point
+            for a in range(3):
+                for c in range(3):
+                    dev = 0.5 * (cmat[a][c] + cmat[c][a]) - (
+                        div_lag / 3.0 if a == c else 0.0
+                    )
+                    t[a][c] = vj * (
+                        (-pressure if a == c else 0.0) + 2.0 * mu * dev
+                    )
+        elif mid == mat.NEO_HOOKEAN:
+            # tau = V0 (mu (F F^T - I) + lam log(Jf) I)
+            mu_s = jnp.float32(scene.params.mu)
+            lam_s = jnp.float32(scene.params.lam)
+            jf = (
+                fmat[0] * (fmat[4] * fmat[8] - fmat[5] * fmat[7])
+                - fmat[1] * (fmat[3] * fmat[8] - fmat[5] * fmat[6])
+                + fmat[2] * (fmat[3] * fmat[7] - fmat[4] * fmat[6])
+            )
+            lj = lam_s * jnp.log(jnp.maximum(jf, jnp.float32(1e-6)))
+            for a in range(3):
+                for c in range(3):
+                    ffr = sum(fmat[3 * a + e] * fmat[3 * c + e] for e in range(3))
+                    t[a][c] = b.vol0 * (
+                        mu_s * (ffr - (1.0 if a == c else 0.0))
+                        + (lj if a == c else 0.0)
+                    )
+        else:  # FIXED_COROTATED: V0 (2 mu (F - R) F^T + lam (Jf - 1) Jf I)
+            mu_s = jnp.float32(scene.params.mu)
+            lam_s = jnp.float32(scene.params.lam)
+            rrot = _polar3d_rows(fmat)
+            jf = (
+                fmat[0] * (fmat[4] * fmat[8] - fmat[5] * fmat[7])
+                - fmat[1] * (fmat[3] * fmat[8] - fmat[5] * fmat[6])
+                + fmat[2] * (fmat[3] * fmat[7] - fmat[4] * fmat[6])
+            )
+            lj = lam_s * (jf - 1.0) * jf
+            for a in range(3):
+                for c in range(3):
+                    dfr = sum(
+                        (fmat[3 * a + e] - rrot[3 * a + e]) * fmat[3 * c + e]
+                        for e in range(3)
+                    )
+                    t[a][c] = b.vol0 * (
+                        2.0 * mu_s * dfr + (lj if a == c else 0.0)
+                    )
+        if len(scene.materials_present) == 1:
+            tau = t
+        else:
+            sel = b.mat == mid
+            for a in range(3):
+                for c in range(3):
+                    tau[a][c] = jnp.where(sel, t[a][c], tau[a][c])
 
     fa = -dt * jnp.float32(dinv)
     m = b.mass * b.mask
-    if cfg.transfer == TransferKind.APIC:
+    if apic:
         p_aff = [[b.mass * cmat[a][c] * b.mask for c in range(3)] for a in range(3)]
     else:
         z = jnp.zeros_like(b.J)
@@ -199,36 +472,39 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
         [p_aff[a][c] + fa * tau[a][c] * b.mask for c in range(3)] for a in range(3)
     ]
 
+    # Unstacked kernel inputs, each a free (R0, R1, K) view of the bucket
+    # arrays — no channel-stack relayout pass (transfer3d.py note 2).
+    ext_fields = ()
+    if ext:
+        v0m = b.vol0 * b.mask
+        ext_fields = (
+            shaped(v0m * b.J), shaped(v0m),
+            shaped(v0m * p_point_out), shaped(v0m * div_lag),
+        )
     fields = (
-        gx[0], gx[1], gx[2],
-        m * b.v0, m * b.v1, m * b.v2,
-        *(p_aff[a][c] for a in range(3) for c in range(3)),
-        *(q_aff[a][c] for a in range(3) for c in range(3)),
-        m, vj * b.mask,
+        shaped(b.x0), shaped(b.x1), shaped(b.x2),
+        shaped(m * b.v0), shaped(m * b.v1), shaped(m * b.v2),
+        *((shaped(p_aff[a][c]) for a in range(3) for c in range(3)) if apic else ()),
+        *(shaped(q_aff[a][c]) for a in range(3) for c in range(3)),
+        shaped(m),
+        *ext_fields,
     )
-    pdata = jnp.stack(fields, axis=1).reshape(r0, r1, 26, spec.capacity)
-    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
 
     # ---- P2G + grid update ---------------------------------------------
-    gs = tk3.fold_rows0(tk3.p2g3d(pdata, counts, g, g, dx))  # (8, G, G, G)
-    g_m = gs[6]
-    has = g_m > 0
-    safe = jnp.where(has, g_m, 1.0)
-    v0g = jnp.where(has, gs[0:3] / safe, 0.0)
-    vng = jnp.where(has, gs[3:6] / safe, 0.0)
-    grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
-    vng = vng + dt * grav[:, None, None, None] * has.astype(jnp.float32)
-    v_new = _apply_wall_bc(jnp.moveaxis(vng, 0, -1), cfg, scene.wall)
-    grid6 = jnp.concatenate([jnp.moveaxis(v_new, -1, 0), v0g], axis=0)  # (6,G,G,G)
-    grid6 = jnp.moveaxis(grid6, 0, 2)  # (G0, G1, 6, G2)
+    gs = tk3.fold_rows0(
+        tk3.p2g3d(
+            fields, counts, g, g, dx, float(cfg.inv_dx), float(PAD),
+            apic=apic, ext=ext,
+        )
+    )
+    grid_ch = _grid_update(gs, scene, ext)          # (G0, G1, gch, G2)
 
     # ---- G2P ------------------------------------------------------------
-    pdata2 = jnp.stack([gx[0], gx[1], gx[2], b.mask], axis=1).reshape(
-        r0, r1, 4, spec.capacity
-    )
-    out = tk3.g2p3d(pdata2, counts, grid6, dx, dinv).reshape(
-        r0 * r1, tk3.G2P_OUT, spec.capacity
-    )
+    nout = tk3.G2P_OUT_EXT if ext else tk3.G2P_OUT
+    out = tk3.g2p3d(
+        shaped(b.x0), shaped(b.x1), shaped(b.x2), shaped(b.mask),
+        counts, grid_ch, dx, dinv, float(cfg.inv_dx), float(PAD), ext=ext,
+    ).reshape(r0 * r1, nout, spec.capacity)
     vpic = [out[:, a] for a in range(3)]
     vold = [out[:, 3 + a] for a in range(3)]
     c_new = [out[:, 6 + i] for i in range(9)]
@@ -239,6 +515,30 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
         for vv, vp, vo in zip((b.v0, b.v1, b.v2), vpic, vold)
     ]
     div_new = c_new[0] + c_new[4] + c_new[8]
+    if ratio > 0.0:
+        div_for_j = ratio * b.div_s + (1.0 - ratio) * div_new
+    else:
+        div_for_j = div_new
+    if ext:
+        jbar_new = jnp.where(b.mask > 0, out[:, 15], 1.0)
+        p_new = out[:, 16] * b.mask
+        div_s_new = out[:, 17] * b.mask
+    else:
+        jbar_new, p_new, div_s_new = b.jbar_s, b.p_s, b.div_s
+    # F <- (I + dt C) F, component form.  Fluid stress never reads F (it
+    # uses C and J), so fluid-only scenes skip the 9-field update entirely
+    # (~2.4 GB/substep of dead traffic at 8M).
+    if scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,):
+        f_new = fmat
+    else:
+        f_new = [
+            sum(
+                ((1.0 if a == e else 0.0) + dt * c_new[3 * a + e]) * fmat[3 * e + c]
+                for e in range(3)
+            )
+            for a in range(3)
+            for c in range(3)
+        ]
     return FluidBuckets3D(
         x0=b.x0 + dt * vpic[0] * b.mask,
         x1=b.x1 + dt * vpic[1] * b.mask,
@@ -249,9 +549,16 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
         C00=c_new[0], C01=c_new[1], C02=c_new[2],
         C10=c_new[3], C11=c_new[4], C12=c_new[5],
         C20=c_new[6], C21=c_new[7], C22=c_new[8],
-        J=jnp.where(b.mask > 0, b.J * (1.0 + dt * div_new), 1.0),
+        F00=f_new[0], F01=f_new[1], F02=f_new[2],
+        F10=f_new[3], F11=f_new[4], F12=f_new[5],
+        F20=f_new[6], F21=f_new[7], F22=f_new[8],
+        J=jnp.where(b.mask > 0, b.J * (1.0 + dt * div_for_j), 1.0),
         mass=b.mass,
         vol0=b.vol0,
+        mat=b.mat,
+        jbar_s=jbar_new,
+        p_s=p_new,
+        div_s=div_s_new,
         mask=b.mask,
         overflow=b.overflow,
     )

@@ -166,20 +166,86 @@ def slab_3d(
     return p, scene
 
 
+def elastic_drop_3d(
+    num_grids: int = 16,
+    fluid_particles: Tuple[int, int, int] = (8, 8, 4),
+    block_particles: Tuple[int, int, int] = (4, 4, 4),
+    physics: Physics = Physics(),
+    dtype=np.float32,
+    dt: float = 2e-5,
+    block_material: int = mat.NEO_HOOKEAN,
+    **cfg_kwargs,
+) -> Tuple[Particles, Scene]:
+    """3D mixed-material scene: an elastic block dropped onto a fluid slab
+    (the 3D analogue of elastic_drop_2d / BASELINE.json configs[2])."""
+    cfg = MPMConfig(
+        dim=3, dtype=np.dtype(dtype).name, num_grids=num_grids, dt=dt,
+        **cfg_kwargs,
+    )
+    l = cfg.domain_length
+    fsize = (0.9 * l, 0.9 * l, 0.25 * l)
+    fluid_x = _lattice(fluid_particles, (0.0, 0.0, 0.0), fsize, dtype)
+    side = 0.2 * l
+    block_x = _lattice(
+        block_particles, (0.4 * l, 0.4 * l, 0.55 * l), (side,) * 3, dtype
+    )
+    x = np.concatenate([fluid_x, block_x], axis=0)
+    material = np.concatenate(
+        [
+            np.full(len(fluid_x), mat.WEAKLY_COMPRESSIBLE_FLUID, np.int32),
+            np.full(len(block_x), block_material, np.int32),
+        ]
+    )
+    vol_f = fsize[0] * fsize[1] * fsize[2] / len(fluid_x)
+    vol_b = side**3 / len(block_x)
+    volume0 = np.concatenate(
+        [np.full(len(fluid_x), vol_f), np.full(len(block_x), vol_b)]
+    ).astype(dtype)
+    density = np.concatenate(
+        [
+            np.full(len(fluid_x), physics.particle_density),
+            np.full(len(block_x), 400.0),
+        ]
+    ).astype(dtype)
+    p = Particles.init(
+        jnp.asarray(x),
+        volume0=jnp.asarray(volume0),
+        density=jnp.asarray(density),
+        material=jnp.asarray(material),
+    )
+    e_block, nu_block = 5e4, 0.3
+    scene = Scene(
+        cfg=cfg,
+        physics=physics,
+        params=mat.MaterialParams(
+            bulk_modulus=physics.bulk_modulus,
+            dynamic_viscosity=physics.dynamic_viscosity,
+            mu=e_block / (2 * (1 + nu_block)),
+            lam=e_block * nu_block / ((1 + nu_block) * (1 - 2 * nu_block)),
+        ),
+        materials_present=(mat.WEAKLY_COMPRESSIBLE_FLUID, block_material),
+        wall=WallBC("slip"),
+    )
+    return p, scene
+
+
 def dam_break_3d(
     num_grids: int = 64,
     particles_per_axis: Tuple[int, int, int] = (24, 24, 48),
     physics: Physics = Physics(),
     dtype=np.float32,
     dt: float = 1e-5,
+    **cfg_kwargs,
 ) -> Tuple[Particles, Scene]:
     """3D free-surface column collapse (BASELINE.json configs[3] scaled by
-    the caller: 256^3 grid / 8M particles uses the same builder)."""
+    the caller: 256^3 grid / 8M particles uses the same builder).  Extra
+    kwargs go to MPMConfig (switch-matrix variants in tests)."""
     cfg = MPMConfig(
         dim=3,
         dtype=np.dtype(dtype).name,
         num_grids=num_grids,
         dt=dt,
+        **cfg_kwargs,
     )
     # Column tall along the LAST axis — gravity acts on it
     # (MPMConfig.gravity_acceleration).

@@ -7,23 +7,50 @@ scatter/gather of one pencil into one-hot weight-matrix products on the
 MXU.  Axis 0 and axis 1 use the +-1-bucket drift margin, so a particle's
 3x3 stencil rows land in 5x5 candidate target pencils.
 
-P2G output strategy: programs iterate (i0, i1) with i1 fastest; the output
-block is the full (5 t0-targets, CH, G1, G2) plane for row i0, revisited
-and accumulated in VMEM across all i1 (zeroed at i1 == 0), with each
-(t0, t1) contribution added at dynamic row i1 + t1 - 1.  Only the axis-0
-expansion (5x) survives to HBM and is folded by shifted adds
-(`fold_rows0`).  G2P reads the 5x5 overlapping grid pencils through 25
-row-block input refs of a padded grid.
+Round-2 redesign (profiled on v5e at the BASELINE 8M/256^3 scale, where
+the round-1 kernels spent ~70% of their time on per-program fixed costs
+across ~520k programs):
+
+1. PENCIL BATCHING: each program owns B1 adjacent axis-1 pencils and all
+   their slot-axis chunks, looping over (pencil, chunk) in the body with
+   per-chunk count skipping.  Program counts drop ~30x; the per-pair
+   matmul work per particle is unchanged (relative-target structure is
+   kept — absolute-row batching would grow the 5x expansion to B1+4).
+2. UNSTACKED INPUTS: the kernels read the bucketed state/affine arrays as
+   separate (R0, R1, K) refs instead of a stacked (R0, R1, CH, K) pdata —
+   the 26-channel stack/relayout pass (~50 ms at 8M) disappears and PIC
+   configs skip the 9 P-affine refs entirely.
+3. SECOND WEIGHT MATRIX: the z-column affine term used to cost 2 extra
+   A rows per channel via the rank-1 fold  A2 @ (W * (c - gx2)) =
+   (A2 @ W) * c - (A2 * gx2) @ W.  Building W2 = W * (c - gx2) * dx in
+   VMEM (2 VPU ops) and running a second small matmul replaces 12 rows
+   per target pair with 3 (PIC) / 6 (APIC): P2G drops from 20 to 10-17
+   A rows per pair, G2P from 12 to 9-12 gather rows per pair.
+
+4. FUSED ENDPOINTS: for the single-fluid non-ext configs (the BASELINE
+   headline), P2G computes the fluid stress in-chunk from raw state
+   (stress="linear"/"tait") and G2P applies the particle update in-chunk
+   (state=(v, J): FLIP blend, advection, J update) — dead bucket slots
+   (capacity/occupancy inflation ~3.7x at the 8M slab) never touch an
+   XLA elementwise pass.
 
 Channel conventions (weakly-compressible FLIP98A fluid, 3D):
-  P2G in  : pdata (R0, R1, 26, K) =
-            [gx0, gx1, gx2, mv0, mv1, mv2,
-             P00..P22 (9), Q00..Q22 (9), m, V]
-  P2G out : (R0, 5, 8, G1, G2) -> fold_rows0 -> (8, G0, G1, G2):
-            [m v (3 pure), m v + f (3 forced), m, V]
-  G2P in  : pdata2 (R0, R1, 4, K) = [gx0, gx1, gx2, mask];
-            grid (R0, R1, 4, G2) = [v_new (3), v0... see fast3d] padded
-  G2P out : (R0, R1, 18, K) = [vpic (3), v0g (3), C (9), pad (3)]
+  P2G in  : x (3), m v (3), [P00..P22 (9) if APIC], Q00..Q22 (9), m,
+            [V0 J, V0, V0 p, V0 div if ext]   (each (R0, R1, K));
+            fused-stress mode instead: x (3), v (3), C (9), J, mass, V0
+            P = m C (APIC affine), Q = P - dt Dinv tau (affine + force)
+  P2G out : (R0, 5, G1, nch, G2) -> fold_rows0 -> (G0, G1, nch, G2)
+            (grid-row-major = the G2P grid layout; channels
+            [m v (3 pure), m v + f (3 forced), m] + ext)
+  G2P in  : x (3), mask [, v (3), J in update mode]; grid
+            (R0+4, R1+4, gch, G2) pre-padded,
+            gch = 6 [v_new (3), v0 (3)] or 9 (+ Jbar, p, div)
+  G2P out : (R0, R1, nout, K) = [vpic (3), v0g (3), C (9)]
+            (+ ext gathers [Jbar, p, div]), nout = 15 or 18; update
+            mode: [x (3), v (3), C (9), J], nout = 16
+
+Reference analogue: the per-particle scatter/gather loops of
+cpp_validation/mls-mpm88-explained.cpp:53-102,133-179 generalized to 3D.
 """
 
 from __future__ import annotations
@@ -38,10 +65,13 @@ from jax.experimental.pallas import tpu as pltpu
 from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights, _interpret, _row_weights
 
 NT = 5
-P2G_CH = 8            # mv_pure(3), mv_forced(3), m, V
-P2G_AROWS = 20        # 8 plain + 6 col-linear + 6 col-linear * gx2
+P2G_CH = 7            # mv_pure(3), mv_forced(3), m
+P2G_CH_EXT = 11       # + V0 J, V0, V0 p, V0 div
 G2P_CH = 6            # v_new(3), v0(3)
-G2P_OUT = 18          # vpic(3), v0g(3), C(9), pad to even
+G2P_CH_EXT = 9        # + Jbar, p, div
+G2P_OUT = 15          # vpic(3), v0g(3), C(9)
+G2P_OUT_EXT = 18      # + jbar, p, div
+G2P_UPD = 16          # fused-update mode: x(3), v(3), C(9), J
 
 
 def _onehot_w(base2, w2, k, g2, col0=0):
@@ -53,20 +83,23 @@ def _onehot_w(base2, w2, k, g2, col0=0):
     return w_mat
 
 
-def _geom(pd, i0, i1):
-    gx0, gx1, gx2 = pd[0], pd[1], pd[2]
-    base0 = jnp.floor(gx0 - 0.5)
-    base1 = jnp.floor(gx1 - 0.5)
-    base2 = jnp.floor(gx2 - 0.5)
-    rel0 = base0 - i0.astype(jnp.float32)
-    rel1 = base1 - i1.astype(jnp.float32)
-    valid = (
-        (rel0 >= -1.0) & (rel0 <= 1.0) & (rel1 >= -1.0) & (rel1 <= 1.0)
-    ).astype(jnp.float32)
-    w0 = _axis_weights(gx0 - base0)
-    w1 = _axis_weights(gx1 - base1)
-    w2 = _axis_weights(gx2 - base2)
-    return gx0, gx1, gx2, base2, rel0, rel1, valid, w0, w1, w2
+def _batch1(r1: int) -> int:
+    """Pencils per program.  The TPU block-shape rule requires the sublane
+    dim of a (1, b1, K) particle block to be a multiple of 8 or the full
+    r1, so batch 8 when possible and fall back to whole-row batching for
+    tiny grids (CPU tests)."""
+    if r1 % 8 == 0:
+        return 8
+    assert r1 <= 16, f"3D fast path needs num_grids % 8 == 0 (got r1={r1})"
+    return r1
+
+
+def _chunk3d(k: int) -> int:
+    """Slot-axis chunk: 128 up to K = 512 (finest count-skip granularity),
+    K/4 beyond (bounds the in-body unroll at 4 chunk bodies)."""
+    kc = max(128, k // 4)
+    assert k % kc == 0, k
+    return kc
 
 
 # ---------------------------------------------------------------------------
@@ -74,137 +107,268 @@ def _geom(pd, i0, i1):
 # ---------------------------------------------------------------------------
 
 
-def _chunk3d(k: int) -> int:
-    """3D slot-axis chunk (128): pencils are small, so fine chunks let the
-    count skip trim the bimodal occupancy (straddling pencils hold ~2x the
-    average)."""
-    nc = -(-k // 128)
-    assert k % nc == 0, k
-    return k // nc
-
-
-def _p2g3d_kernel(counts_ref, pdata_ref, out_ref, *, g1: int, g2t: int, dx: float, kc: int):
-    # Grid dims: (r0, n_g2_tiles, r1, n_k_chunks) — the z-axis tile index
-    # must be OUTER to (i1, j) so the output block stays resident in VMEM
-    # while accumulating over the fast (i1, chunk) dims.
+def _p2g3d_kernel(
+    counts_ref,
+    *refs,
+    r1: int,
+    b1: int,
+    g1: int,
+    g2t: int,
+    dx: float,
+    inv_dx: float,
+    pad: float,
+    kc: int,
+    apic: bool,
+    ext: bool,
+    stress,
+    kb: float,
+    mu: float,
+    gamma: float,
+    fa: float,
+):
+    out_ref = refs[-1]
+    in_refs = refs[:-1]
     i0 = pl.program_id(0)
     tz = pl.program_id(1)
-    i1 = pl.program_id(2)
-    j = pl.program_id(3)
+    gq = pl.program_id(2)
 
-    @pl.when((i1 == 0) & (j == 0))
+    @pl.when(gq == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(j * kc < counts_ref[i0 * pl.num_programs(2) + i1])
-    def _body():
-        _p2g3d_chunk(pdata_ref, out_ref, i0, i1, tz, g1=g1, g2t=g2t, dx=dx)
+    k = in_refs[0].shape[2]
+
+    # The pencil loop is a lax loop (not a Python unroll): b1 * nk unrolled
+    # chunk bodies at ~250 A rows each would blow up Mosaic compile time.
+    # Dynamic sublane indexing (refs[.][0, b, chunk]) is cheap on TPU.
+    def pencil(b, carry):
+        i1 = gq * b1 + b
+        cnt = counts_ref[i0 * r1 + i1]
+        for q in range(k // kc):
+            # Buckets are packed (actives first), so chunks past the count
+            # hold only dead slots — skip the whole body.
+            @pl.when(q * kc < cnt)
+            def _(q=q):
+                _p2g3d_chunk(
+                    in_refs, out_ref, i0, i1, tz, b, q,
+                    g1=g1, g2t=g2t, dx=dx, inv_dx=inv_dx, pad=pad, kc=kc,
+                    apic=apic, ext=ext, stress=stress, kb=kb, mu=mu,
+                    gamma=gamma, fa=fa,
+                )
+        return carry
+
+    jax.lax.fori_loop(0, b1, pencil, 0)
 
 
-def _p2g3d_chunk(pdata_ref, out_ref, i0, i1, tz, *, g1: int, g2t: int, dx: float):
-    pd = pdata_ref[0, 0]  # (26, KC)
-    k = pd.shape[1]
-    g2 = g2t
-    gx0, gx1, gx2, base2, rel0, rel1, valid, w0, w1, w2 = _geom(pd, i0, i1)
+def _take_row(block, b):
+    """Row b of a (B, K) block for TRACED b: Mosaic has no dynamic-sublane
+    load, but a dynamic sublane roll is a cheap shuffle — rotate row b to
+    the top and statically slice it."""
+    return pltpu.roll(block, -b, 0)[0]
+
+
+def _p2g3d_chunk(
+    refs, out_ref, i0, i1, tz, b, q,
+    *, g1, g2t, dx, inv_dx, pad, kc, apic, ext, stress, kb, mu, gamma, fa,
+):
+    sl = slice(q * kc, (q + 1) * kc)
+    ld = lambda ix: _take_row(refs[ix][0], b)[sl]
+    x = [ld(0), ld(1), ld(2)]
+    if stress is not None:
+        # Fused fluid stress: compute mv / P / Q from raw state in-chunk —
+        # only ACTIVE chunks pay, where the XLA prep pass at 8M paid for
+        # every dead slot (capacity/occupancy inflation ~3.7x measured).
+        # Dead slots are neutral (mass = vol0 = 0, J = 1) so they scatter
+        # exact zeros without a mask.
+        v3 = (ld(3), ld(4), ld(5))
+        cm = tuple(ld(6 + i) for i in range(9))
+        jj = ld(15)
+        mass = ld(16)
+        vol0 = ld(17)
+        mv = tuple(mass * v3[a] for a in range(3))
+        if stress == "linear":
+            pressure = -kb * (jj - 1.0)
+        else:  # tait
+            j_safe = jnp.maximum(jj, jnp.float32(1e-3))
+            pressure = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
+        divc = cm[0] + cm[4] + cm[8]
+        vj = vol0 * jj
+        p_aff = tuple(mass * cm[i] for i in range(9)) if apic else None
+        q_aff = []
+        for a in range(3):
+            for c in range(3):
+                dev = 0.5 * (cm[3 * a + c] + cm[3 * c + a]) - (
+                    divc / 3.0 if a == c else 0.0
+                )
+                tau = vj * ((-pressure if a == c else 0.0) + 2.0 * mu * dev)
+                q_aff.append((p_aff[3 * a + c] if apic else 0.0) + fa * tau)
+        q_aff = tuple(q_aff)
+        extras = ()
+    else:
+        mv = (ld(3), ld(4), ld(5))
+        if apic:
+            p_aff = tuple(ld(6 + i) for i in range(9))
+            qbase = 15
+        else:
+            p_aff = None
+            qbase = 6
+        q_aff = tuple(ld(qbase + i) for i in range(9))
+        mass = ld(qbase + 9)
+        extras = tuple(ld(qbase + 10 + e) for e in range(4)) if ext else ()
+
+    gx0 = x[0] * inv_dx + pad
+    gx1 = x[1] * inv_dx + pad
+    gx2 = x[2] * inv_dx + pad
+    base0 = jnp.floor(gx0 - 0.5)
+    base1 = jnp.floor(gx1 - 0.5)
+    base2 = jnp.floor(gx2 - 0.5)
+    rel0 = base0 - i0.astype(jnp.float32)
+    rel1 = base1 - i1
+    valid = (
+        (rel0 >= -1.0) & (rel0 <= 1.0) & (rel1 >= -1.0) & (rel1 <= 1.0)
+    ).astype(jnp.float32)
+    w0 = _axis_weights(gx0 - base0)
+    w1 = _axis_weights(gx1 - base1)
+    w2 = _axis_weights(gx2 - base2)
+
     col0 = tz * g2t
-    w_mat = _onehot_w(base2, w2, k, g2, col0)
-
-    mv = (pd[3], pd[4], pd[5])
-    p_aff = tuple(pd[6 + i] for i in range(9))    # row-major P
-    q_aff = tuple(pd[15 + i] for i in range(9))
-    mass, vol = pd[24], pd[25]
+    w_mat = _onehot_w(base2, w2, kc, g2t, col0)
+    colv = col0 + jax.lax.broadcasted_iota(jnp.int32, (kc, g2t), 1).astype(jnp.float32)
+    w_mat2 = w_mat * ((colv - gx2[:, None]) * dx)
 
     wr0 = [_row_weights(rel0, w0, valid, t) for t in range(NT)]
     wr1 = [_row_weights(rel1, w1, jnp.ones_like(valid), t) for t in range(NT)]
     rdp0 = [(i0.astype(jnp.float32) + float(t - 1) - gx0) * dx for t in range(NT)]
-    rdp1 = [(i1.astype(jnp.float32) + float(t - 1) - gx1) * dx for t in range(NT)]
+    rdp1 = [(i1 + float(t - 1) - gx1) * dx for t in range(NT)]
 
-    rows = []
+    nch = P2G_CH_EXT if ext else P2G_CH
+    na2 = 6 if apic else 3
+    rows1 = []
+    rows2 = []
     for t0 in range(NT):
         for t1 in range(NT):
             wr = wr0[t0] * wr1[t1]
-            for a in range(3):  # pure momentum channels
-                rows.append(
-                    wr * (mv[a] + p_aff[3 * a] * rdp0[t0] + p_aff[3 * a + 1] * rdp1[t1])
-                )
-            for a in range(3):  # forced momentum channels
-                rows.append(
+            for a in range(3):  # pure momentum (no force)
+                base = mv[a]
+                if apic:
+                    base = base + p_aff[3 * a] * rdp0[t0] + p_aff[3 * a + 1] * rdp1[t1]
+                rows1.append(wr * base)
+            for a in range(3):  # forced momentum
+                rows1.append(
                     wr * (mv[a] + q_aff[3 * a] * rdp0[t0] + q_aff[3 * a + 1] * rdp1[t1])
                 )
-            rows.append(wr * mass)
-            rows.append(wr * vol)
-            a2 = [wr * p_aff[3 * a + 2] * dx for a in range(3)] + [
-                wr * q_aff[3 * a + 2] * dx for a in range(3)
-            ]
-            rows.extend(a2)
-            rows.extend(a * gx2 for a in a2)
+            rows1.append(wr * mass)
+            rows1.extend(wr * e for e in extras)
+            if apic:
+                rows2.extend(wr * p_aff[3 * a + 2] for a in range(3))
+            rows2.extend(wr * q_aff[3 * a + 2] for a in range(3))
 
-    a_mat = jnp.stack(rows)  # (25 * 20, K)
-    o = jnp.dot(a_mat, w_mat, preferred_element_type=jnp.float32)  # (500, G2)
+    o1 = jnp.dot(jnp.stack(rows1), w_mat, preferred_element_type=jnp.float32)
+    o2 = jnp.dot(jnp.stack(rows2), w_mat2, preferred_element_type=jnp.float32)
 
-    colv = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, g2), 1).astype(jnp.float32)
+    zpad = jnp.zeros((nch - 6, o1.shape[1]), jnp.float32)
+    z3 = jnp.zeros((3, o1.shape[1]), jnp.float32)
     for t0 in range(NT):
         for t1 in range(NT):
             row = i1 + (t1 - 1)
 
             @pl.when((row >= 0) & (row < g1))
             def _(row=row, t0=t0, t1=t1):
-                b = (t0 * NT + t1) * P2G_AROWS
-                for ch in range(P2G_CH):
-                    val = o[b + ch : b + ch + 1, :]
-                    if ch < 6:
-                        val = (
-                            val
-                            + o[b + 8 + ch : b + 9 + ch, :] * colv
-                            - o[b + 14 + ch : b + 15 + ch, :]
-                        )
-                    out_ref[0, t0, ch, pl.ds(row, 1), :] += val
+                pr = t0 * NT + t1
+                b1o = pr * nch
+                b2o = pr * na2
+                # One (nch, G2T) accumulate per target pair: the z-column
+                # matmul rows add onto the momentum channels (pure+forced
+                # for APIC, forced only for PIC).
+                add2 = o2[b2o : b2o + na2, :]
+                if not apic:
+                    add2 = jnp.concatenate([z3, add2], axis=0)
+                val = o1[b1o : b1o + nch, :] + jnp.concatenate(
+                    [add2, zpad], axis=0
+                )
+                out_ref[0, t0, pl.ds(row, 1), :, :] += val[None]
 
 
-@functools.partial(jax.jit, static_argnames=("g1", "g2", "dx"))
-def p2g3d(pdata: jax.Array, counts: jax.Array, g1: int, g2: int, dx: float) -> jax.Array:
-    """pdata (R0, R1, 26, K), counts (R0*R1,) -> (R0, 5, 8, G1, G2)."""
-    r0, r1, f, k = pdata.shape
-    assert f == 6 + 18 + 2
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g1", "g2", "dx", "inv_dx", "pad", "apic", "ext",
+        "stress", "kb", "mu", "gamma", "fa",
+    ),
+)
+def p2g3d(
+    fields: tuple,
+    counts: jax.Array,
+    g1: int,
+    g2: int,
+    dx: float,
+    inv_dx: float,
+    pad: float,
+    apic: bool = True,
+    ext: bool = False,
+    stress=None,
+    kb: float = 0.0,
+    mu: float = 0.0,
+    gamma: float = 7.0,
+    fa: float = 0.0,
+) -> jax.Array:
+    """fields: tuple of (R0, R1, K) arrays in the P2G channel order above;
+    counts (R0*R1,) int32 -> (R0, 5, G1, nch, G2) — grid-row-major so the
+    fold's result is already in the G2P grid layout (no transposes)."""
+    r0, r1, k = fields[0].shape
+    nch = P2G_CH_EXT if ext else P2G_CH
+    if stress is not None:
+        # Fused-stress mode: raw state refs [x3, v3, C9, J, mass, vol0].
+        assert not ext and stress in ("linear", "tait")
+        n_in = 18
+    else:
+        n_in = 3 + 3 + (9 if apic else 0) + 9 + 1 + (4 if ext else 0)
+    assert len(fields) == n_in, (len(fields), n_in)
     kc = _chunk3d(k)
+    b1 = _batch1(r1)
     # Tile the z axis of the plane output block so it fits in VMEM
-    # (~6 MB cap on the block: 5 * 8 * G1 * G2T * 4B).
+    # (~6 MB cap: the kernel body needs ~9 MB of scoped VMEM for its
+    # A/W/o temporaries on top — a 9.2 MB untiled block OOMs the 16 MB
+    # budget, measured at 256^3).
     n_tz = 1
-    while NT * P2G_CH * g1 * (g2 // n_tz) * 4 > 6 * 1024 * 1024:
+    while NT * nch * g1 * (g2 // n_tz) * 4 > 6 * 1024 * 1024:
         n_tz *= 2
     assert g2 % n_tz == 0, (g2, n_tz)
     g2t = g2 // n_tz
+    in_specs = [
+        pl.BlockSpec((1, b1, k), lambda i, tz, gq, c: (i, gq, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_in)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r0, n_tz, r1, k // kc),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, f, kc),
-                lambda i, tz, j, q, c: (i, j, 0, q),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        grid=(r0, n_tz, r1 // b1),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, NT, P2G_CH, g1, g2t),
-            lambda i, tz, j, q, c: (i, 0, 0, 0, tz),
+            (1, NT, g1, nch, g2t),
+            lambda i, tz, gq, c: (i, 0, 0, 0, tz),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(_p2g3d_kernel, g1=g1, g2t=g2t, dx=dx, kc=kc),
+        functools.partial(
+            _p2g3d_kernel,
+            r1=r1, b1=b1, g1=g1, g2t=g2t,
+            dx=dx, inv_dx=inv_dx, pad=pad, kc=kc, apic=apic, ext=ext,
+            stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r0, NT, P2G_CH, g1, g2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r0, NT, g1, nch, g2), jnp.float32),
         interpret=_interpret(),
-    )(counts, pdata)
+    )(counts, *fields)
 
 
 def fold_rows0(expanded: jax.Array) -> jax.Array:
-    """(R0, 5, ch, G1, G2) -> (ch, G0, G1, G2)."""
-    r, nt, ch, g1, g2 = expanded.shape
-    buf = jnp.zeros((r + nt - 1, ch, g1, g2), expanded.dtype)
-    for t in range(nt):
-        buf = buf.at[t : t + r].add(expanded[:, t])
-    return jnp.moveaxis(buf[1 : r + 1], 1, 0)
+    """(R0, 5, G1, ch, G2) -> (G0, G1, ch, G2): one fused shifted-slice sum
+    (grid row g = sum_t expanded[g + 1 - t, t]); the padded RMW loop the 2D
+    fold uses costs ~4x bandwidth in XLA at 256^3."""
+    r, nt, g1, ch, g2 = expanded.shape
+    e = jnp.pad(expanded, ((nt - 2, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+    return sum(e[nt - 1 - t : nt - 1 - t + r, t] for t in range(nt))
 
 
 # ---------------------------------------------------------------------------
@@ -212,108 +376,211 @@ def fold_rows0(expanded: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _g2p3d_kernel(counts_ref, pdata_ref, *refs, g2: int, dx: float, dinv: float, kc: int):
-    grid_refs = refs[: NT * NT]
-    out_ref = refs[NT * NT]
+def _g2p3d_kernel(
+    counts_ref,
+    *refs,
+    r1: int,
+    b1: int,
+    g2: int,
+    dx: float,
+    dinv: float,
+    inv_dx: float,
+    pad: float,
+    kc: int,
+    ext: bool,
+    update: bool,
+    alpha: float,
+    dtv: float,
+):
+    # refs: x0, x1, x2, mask, [v0, v1, v2, J if update],
+    #       NT * (b1 + NT - 1) grid rows, out
+    np_refs = 8 if update else 4
+    grid_refs = refs[np_refs:-1]
+    out_ref = refs[-1]
     i0 = pl.program_id(0)
-    i1 = pl.program_id(1)
-    j = pl.program_id(2)
-    cnt = counts_ref[i0 * pl.num_programs(1) + i1]
+    gq = pl.program_id(1)
+    k = refs[0].shape[2]
+    if update:
+        nout = G2P_UPD
+        # Dead-slot fill must keep J neutral (row 15 = 1): a zero J feeds
+        # the Tait 1/J power with inf on the next substep.
+        dead = jnp.concatenate(
+            [jnp.zeros((15, kc), jnp.float32), jnp.ones((1, kc), jnp.float32)],
+            axis=0,
+        )
+    else:
+        nout = G2P_OUT_EXT if ext else G2P_OUT
+        dead = jnp.zeros((nout, kc), jnp.float32)
 
-    @pl.when(j * kc >= cnt)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    for b in range(b1):
+        i1 = gq * b1 + b
+        cnt = counts_ref[i0 * r1 + i1]
+        rows = [grid_refs[t0 * (b1 + NT - 1) + b + t1] for t0 in range(NT) for t1 in range(NT)]
+        for q in range(k // kc):
+            @pl.when(q * kc >= cnt)
+            def _(b=b, q=q):
+                out_ref[0, b, :, pl.ds(q * kc, kc)] = dead
 
-    @pl.when(j * kc < cnt)
-    def _body():
-        _g2p3d_chunk(pdata_ref, grid_refs, out_ref, i0, i1, g2=g2, dx=dx, dinv=dinv)
+            @pl.when(q * kc < cnt)
+            def _(b=b, q=q, i1=i1, rows=rows):
+                _g2p3d_chunk(
+                    refs, rows, out_ref, i0, i1, b, q,
+                    g2=g2, dx=dx, dinv=dinv, inv_dx=inv_dx, pad=pad, kc=kc,
+                    ext=ext, update=update, alpha=alpha, dtv=dtv,
+                )
 
 
-def _g2p3d_chunk(pdata_ref, grid_refs, out_ref, i0, i1, *, g2: int, dx: float, dinv: float):
-    pd = pdata_ref[0, 0]  # (4, K)
-    k = pd.shape[1]
-    gx0, gx1, gx2, base2, rel0, rel1, valid, w0, w1, w2 = _geom(pd, i0, i1)
-    valid = valid * pd[3]
+def _g2p3d_chunk(
+    refs, grid_rows, out_ref, i0, i1, b, q,
+    *, g2, dx, dinv, inv_dx, pad, kc, ext, update, alpha, dtv,
+):
+    sl = slice(q * kc, (q + 1) * kc)
+    gx0 = refs[0][0, b, sl] * inv_dx + pad
+    gx1 = refs[1][0, b, sl] * inv_dx + pad
+    gx2 = refs[2][0, b, sl] * inv_dx + pad
+    mask = refs[3][0, b, sl]
+    base0 = jnp.floor(gx0 - 0.5)
+    base1 = jnp.floor(gx1 - 0.5)
+    base2 = jnp.floor(gx2 - 0.5)
+    rel0 = base0 - i0.astype(jnp.float32)
+    rel1 = base1 - i1
+    valid = mask * (
+        (rel0 >= -1.0) & (rel0 <= 1.0) & (rel1 >= -1.0) & (rel1 <= 1.0)
+    ).astype(jnp.float32)
+    w0 = _axis_weights(gx0 - base0)
+    w1 = _axis_weights(gx1 - base1)
+    w2 = _axis_weights(gx2 - base2)
 
     # Transposed one-hot (G2, K): channels land on sublanes after the dot.
-    rows_io = jax.lax.broadcasted_iota(jnp.int32, (g2, k), 0).astype(jnp.float32)
-    w_t = jnp.zeros((g2, k), jnp.float32)
+    rows_io = jax.lax.broadcasted_iota(jnp.int32, (g2, kc), 0).astype(jnp.float32)
+    w_t = jnp.zeros((g2, kc), jnp.float32)
     for c in range(3):
         w_t = w_t + jnp.where(rows_io == base2[None, :] + c, w2[c][None, :], 0.0)
+    w_t2 = w_t * ((rows_io - gx2[None, :]) * dx)
 
-    colv = jax.lax.broadcasted_iota(jnp.int32, (1, g2), 1).astype(jnp.float32)
-    gs = []
-    for t0 in range(NT):
-        for t1 in range(NT):
-            gt = grid_refs[t0 * NT + t1][0, 0]   # (G2P_CH, G2)
-            gs.append(gt)
-            gs.append(gt * colv)
-    gboth = jnp.concatenate(gs, axis=0)          # (25 * 12, G2)
-    s = jnp.dot(gboth, w_t, preferred_element_type=jnp.float32)  # (300, K)
+    gch = G2P_CH_EXT if ext else G2P_CH
+    gs1 = []
+    gs2 = []
+    for pr in range(NT * NT):
+        gt = grid_rows[pr][0, 0]  # (gch, G2)
+        gs1.append(gt)
+        gs2.append(gt[0:3])       # z-column term needed for v_new only (C)
+    s1 = jnp.dot(jnp.concatenate(gs1, axis=0), w_t, preferred_element_type=jnp.float32)
+    s2 = jnp.dot(jnp.concatenate(gs2, axis=0), w_t2, preferred_element_type=jnp.float32)
 
     wr0 = [_row_weights(rel0, w0, valid, t) for t in range(NT)]
     wr1 = [_row_weights(rel1, w1, jnp.ones_like(valid), t) for t in range(NT)]
     rdp0 = [(i0.astype(jnp.float32) + float(t - 1) - gx0) * dx for t in range(NT)]
-    rdp1 = [(i1.astype(jnp.float32) + float(t - 1) - gx1) * dx for t in range(NT)]
+    rdp1 = [(i1 + float(t - 1) - gx1) * dx for t in range(NT)]
 
-    vpic = [jnp.zeros((k,), jnp.float32) for _ in range(3)]
-    vold = [jnp.zeros((k,), jnp.float32) for _ in range(3)]
-    c_out = [jnp.zeros((k,), jnp.float32) for _ in range(9)]
+    vpic = [jnp.zeros((kc,), jnp.float32) for _ in range(3)]
+    vold = [jnp.zeros((kc,), jnp.float32) for _ in range(3)]
+    c_out = [jnp.zeros((kc,), jnp.float32) for _ in range(9)]
+    n_extra = gch - G2P_CH
+    extra = [jnp.zeros((kc,), jnp.float32) for _ in range(n_extra)]
     for t0 in range(NT):
         for t1 in range(NT):
+            pr = t0 * NT + t1
             wr = wr0[t0] * wr1[t1]
-            b = (t0 * NT + t1) * 2 * G2P_CH
+            b1o = pr * gch
+            b2o = pr * 3
             for a in range(3):
-                sv = s[b + a]
-                svc = s[b + G2P_CH + a]
-                colg = (svc - gx2 * sv) * dx
+                sv = s1[b1o + a]
                 vpic[a] = vpic[a] + wr * sv
-                vold[a] = vold[a] + wr * s[b + 3 + a]
+                vold[a] = vold[a] + wr * s1[b1o + 3 + a]
                 c_out[3 * a] = c_out[3 * a] + dinv * wr * rdp0[t0] * sv
                 c_out[3 * a + 1] = c_out[3 * a + 1] + dinv * wr * rdp1[t1] * sv
-                c_out[3 * a + 2] = c_out[3 * a + 2] + dinv * wr * colg
+                c_out[3 * a + 2] = c_out[3 * a + 2] + dinv * wr * s2[b2o + a]
+            for e in range(n_extra):
+                extra[e] = extra[e] + wr * s1[b1o + 6 + e]
 
-    outs = vpic + vold + c_out + [jnp.zeros((k,), jnp.float32)] * 3
+    if update:
+        # Fused particle update: FLIP blend, advection, and the volumetric
+        # J update happen in-chunk so no slot-sized XLA pass runs outside.
+        vprev = [refs[4 + a][0, b, sl] for a in range(3)]
+        jprev = refs[7][0, b, sl]
+        x_new = [refs[a][0, b, sl] + dtv * vpic[a] * mask for a in range(3)]
+        v_new = [
+            (alpha * (vprev[a] + vpic[a] - vold[a]) + (1.0 - alpha) * vpic[a])
+            * mask
+            for a in range(3)
+        ]
+        div_new = c_out[0] + c_out[4] + c_out[8]
+        j_new = jnp.where(mask > 0, jprev * (1.0 + dtv * div_new), 1.0)
+        outs = x_new + v_new + c_out + [j_new]
+    else:
+        outs = vpic + vold + c_out + extra
     for ix, vals in enumerate(outs):
-        out_ref[0, 0, ix, :] = vals
+        out_ref[0, b, ix, sl] = vals
 
 
-@functools.partial(jax.jit, static_argnames=("dx", "dinv"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("dx", "dinv", "inv_dx", "pad", "ext", "alpha", "dtv"),
+)
 def g2p3d(
-    pdata2: jax.Array, counts: jax.Array, grid6: jax.Array, dx: float, dinv: float
+    x0: jax.Array,
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    counts: jax.Array,
+    grid: jax.Array,
+    dx: float,
+    dinv: float,
+    inv_dx: float,
+    pad: float,
+    ext: bool = False,
+    state=None,
+    alpha: float = 0.0,
+    dtv: float = 0.0,
 ) -> jax.Array:
-    """pdata2 (R0, R1, 4, K), grid6 (R0, R1, 6, G2) -> (R0, R1, 18, K)."""
-    r0, r1, _, k = pdata2.shape
-    g2 = grid6.shape[3]
-    padded = jnp.zeros((r0 + NT - 1, r1 + NT - 1, G2P_CH, g2), grid6.dtype)
-    padded = padded.at[1 : r0 + 1, 1 : r1 + 1].set(grid6)
+    """x/mask (R0, R1, K), grid (R0, R1, gch, G2) -> (R0, R1, nout, K).
+
+    With `state` = (v0, v1, v2, J) the kernel also runs the particle
+    update in-chunk (FLIP blend alpha, advection by dtv, J update) and
+    returns [x (3), v (3), C (9), J] instead of the raw gathers."""
+    r0, r1, k = x0.shape
+    update = state is not None
+    gch = G2P_CH_EXT if ext else G2P_CH
+    assert grid.shape[2] == gch, grid.shape
+    g2 = grid.shape[3]
+    nout = G2P_UPD if update else (G2P_OUT_EXT if ext else G2P_OUT)
+    padded = jnp.zeros((r0 + NT - 1, r1 + NT - 1, gch, g2), grid.dtype)
+    padded = padded.at[1 : r0 + 1, 1 : r1 + 1].set(grid)
 
     kc = _chunk3d(k)
+    b1 = _batch1(r1)
+    n_u = b1 + NT - 1
     grid_specs = [
         pl.BlockSpec(
-            (1, 1, G2P_CH, g2),
-            (lambda i, j, q, c, t0=t0, t1=t1: (i + t0, j + t1, 0, 0)),
+            (1, 1, gch, g2),
+            (lambda i, gq, c, t0=t0, u=u: (i + t0, gq * b1 + u, 0, 0)),
             memory_space=pltpu.VMEM,
         )
         for t0 in range(NT)
-        for t1 in range(NT)
+        for u in range(n_u)
+    ]
+    n_part = 8 if update else 4
+    part_specs = [
+        pl.BlockSpec((1, b1, k), lambda i, gq, c: (i, gq, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_part)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r0, r1, k // kc),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 4, kc), lambda i, j, q, c: (i, j, 0, q), memory_space=pltpu.VMEM
-            ),
-            *grid_specs,
-        ],
+        grid=(r0, r1 // b1),
+        in_specs=[*part_specs, *grid_specs],
         out_specs=pl.BlockSpec(
-            (1, 1, G2P_OUT, kc), lambda i, j, q, c: (i, j, 0, q), memory_space=pltpu.VMEM
+            (1, b1, nout, k), lambda i, gq, c: (i, gq, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        functools.partial(_g2p3d_kernel, g2=g2, dx=dx, dinv=dinv, kc=kc),
+        functools.partial(
+            _g2p3d_kernel,
+            r1=r1, b1=b1, g2=g2,
+            dx=dx, dinv=dinv, inv_dx=inv_dx, pad=pad, kc=kc, ext=ext,
+            update=update, alpha=alpha, dtv=dtv,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r0, r1, G2P_OUT, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r0, r1, nout, k), jnp.float32),
         interpret=_interpret(),
-    )(counts, pdata2, *([padded] * (NT * NT)))
+    )(counts, x0, x1, x2, mask, *(state if update else ()), *([padded] * (NT * n_u)))

@@ -1,8 +1,8 @@
 """Component-level timing of the 3D fast path at BASELINE 8M/256^3 scale.
 
 Times each piece of fast3d.substep in isolation on the real chip (sync by
-scalar materialisation per CLAUDE.md) to find where the 0.5 s/substep goes:
-pdata assembly, p2g3d, fold_rows0, grid update, g2p3d, particle update.
+scalar materialisation; each timeit rep pays one ~30 ms axon round-trip,
+so times are upper bounds — subtract ~30/reps ms).
 
 Usage: python scripts/profile3d.py [small]
 """
@@ -16,15 +16,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mpm_flip98a_tpu.config import EOSKind, TransferKind
+from mpm_flip98a_tpu.config import TransferKind
 from mpm_flip98a_tpu.models import fast3d, scenes
 from mpm_flip98a_tpu.models.stabilized import PAD, _apply_wall_bc
 from mpm_flip98a_tpu.ops.pallas import transfer3d as tk3
 
 
 def timeit(fn, *args, reps=10, warm=2):
-    # Chain reps inside ONE jit so per-rep outputs don't accumulate in HBM
-    # and dispatch overhead (30 ms/round-trip on axon) amortises.
     def reps_fn(*a):
         out = fn(*a)
         leaves = jax.tree_util.tree_leaves(out)
@@ -34,9 +32,8 @@ def timeit(fn, *args, reps=10, warm=2):
     for _ in range(warm):
         float(f(*args))
     t0 = time.perf_counter()
-    acc = 0.0
     for _ in range(reps):
-        acc += float(f(*args))
+        float(f(*args))
     return (time.perf_counter() - t0) / reps
 
 
@@ -48,21 +45,21 @@ def main():
         p, scene = scenes.slab_3d(num_grids=256, particles_per_axis=(512, 512, 32))
     cfg = scene.cfg
     spec = fast3d.FastSpec3D.for_particles(cfg, p, headroom=1.5)
-    b = jax.jit(lambda p: fast3d.from_particles(p, cfg, spec))(p)
+    b = jax.jit(lambda q: fast3d.from_particles(q, cfg, spec))(p)
     n_p = p.n
-    p = None  # keep only b's (R, K) state resident
-    print(f"N={n_p} G={cfg.num_grids} rows={spec.rows0}x{spec.rows1} K={spec.capacity}", flush=True)
+    p = None
+    print(f"N={n_p} G={cfg.num_grids} K={spec.capacity}", flush=True)
 
     g = cfg.num_grids
-    r0, r1 = spec.rows0, spec.rows1
+    r0, r1, k = spec.rows0, spec.rows1, spec.capacity
     dt = jnp.float32(cfg.dt)
     dx = float(cfg.dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    apic = cfg.transfer == TransferKind.APIC
+    shaped = lambda a: a.reshape(r0, r1, k)
 
-    # --- stage 1: pdata assembly (stress + stack) ---
-    def assemble(b):
-        inv_dx = jnp.float32(cfg.inv_dx)
-        gx = [b.x0 * inv_dx + PAD, b.x1 * inv_dx + PAD, b.x2 * inv_dx + PAD]
+    # --- stage 1: stress + field prep (XLA elementwise) ---
+    def prep(b):
         kb = jnp.float32(scene.params.bulk_modulus)
         mu = jnp.float32(scene.params.dynamic_viscosity)
         pressure = -kb * (b.J - 1.0)
@@ -71,47 +68,38 @@ def main():
         vj = b.vol0 * b.J
         fa = -dt * jnp.float32(dinv)
         m = b.mass * b.mask
-        p_aff = [[b.mass * cmat[a][c] * b.mask for c in range(3)] for a in range(3)]
         q_aff = [
             [
-                p_aff[a][c]
-                + fa
+                fa
+                * vj
                 * (
-                    vj
-                    * (
-                        (-pressure if a == c else 0.0)
-                        + 2.0 * mu * (0.5 * (cmat[a][c] + cmat[c][a]) - (div / 3.0 if a == c else 0.0))
-                    )
+                    (-pressure if a == c else 0.0)
+                    + 2.0 * mu * (0.5 * (cmat[a][c] + cmat[c][a]) - (div / 3.0 if a == c else 0.0))
                 )
                 * b.mask
                 for c in range(3)
             ]
             for a in range(3)
         ]
-        fields = (
-            gx[0], gx[1], gx[2], m * b.v0, m * b.v1, m * b.v2,
-            *(p_aff[a][c] for a in range(3) for c in range(3)),
-            *(q_aff[a][c] for a in range(3) for c in range(3)),
-            m, vj * b.mask,
+        return (
+            shaped(b.x0), shaped(b.x1), shaped(b.x2),
+            shaped(m * b.v0), shaped(m * b.v1), shaped(m * b.v2),
+            *(shaped(q_aff[a][c]) for a in range(3) for c in range(3)),
+            shaped(m),
         )
-        return jnp.stack(fields, axis=1).reshape(r0, r1, 26, spec.capacity)
 
-    pdata = jax.jit(assemble)(b)
+    fields = jax.jit(prep)(b)
     counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
-    t_asm = timeit(assemble, b)
-    print(f"pdata assembly : {t_asm*1e3:8.2f} ms", flush=True)
+    print(f"field prep     : {timeit(prep, b)*1e3:8.2f} ms", flush=True)
 
     # --- stage 2: p2g3d kernel ---
-    t_p2g = timeit(lambda pd: tk3.p2g3d(pd, counts, g, g, dx), pdata)
-    print(f"p2g3d kernel   : {t_p2g*1e3:8.2f} ms", flush=True)
-
-    expanded = tk3.p2g3d(pdata, counts, g, g, dx)
+    p2g = lambda fs: tk3.p2g3d(fs, counts, g, g, dx, float(cfg.inv_dx), float(PAD), apic=apic)
+    print(f"p2g3d kernel   : {timeit(p2g, fields)*1e3:8.2f} ms", flush=True)
+    expanded = jax.jit(p2g)(fields)
 
     # --- stage 3: fold_rows0 ---
-    t_fold = timeit(tk3.fold_rows0, expanded)
-    print(f"fold_rows0     : {t_fold*1e3:8.2f} ms", flush=True)
-
-    gs = tk3.fold_rows0(expanded)
+    print(f"fold_rows0     : {timeit(tk3.fold_rows0, expanded)*1e3:8.2f} ms", flush=True)
+    gs = jax.jit(tk3.fold_rows0)(expanded)
     expanded = None
 
     # --- stage 4: grid update ---
@@ -127,31 +115,44 @@ def main():
         grid6 = jnp.concatenate([jnp.moveaxis(v_new, -1, 0), v0g], axis=0)
         return jnp.moveaxis(grid6, 0, 2)
 
-    t_grid = timeit(grid_update, gs)
-    print(f"grid update    : {t_grid*1e3:8.2f} ms", flush=True)
+    print(f"grid update    : {timeit(grid_update, gs)*1e3:8.2f} ms", flush=True)
     grid6 = jax.jit(grid_update)(gs)
+    gs = None
 
-    # --- stage 5: pdata2 assembly + g2p ---
-    inv_dx = jnp.float32(cfg.inv_dx)
-
-    def assemble2(b):
-        gx = [b.x0 * inv_dx + PAD, b.x1 * inv_dx + PAD, b.x2 * inv_dx + PAD]
-        return jnp.stack([gx[0], gx[1], gx[2], b.mask], axis=1).reshape(
-            r0, r1, 4, spec.capacity
+    # --- stage 5: g2p ---
+    def g2p(b, grid6):
+        return tk3.g2p3d(
+            shaped(b.x0), shaped(b.x1), shaped(b.x2), shaped(b.mask),
+            counts, grid6, dx, dinv, float(cfg.inv_dx), float(PAD),
         )
 
-    pdata2 = jax.jit(assemble2)(b)
-    t_asm2 = timeit(assemble2, b)
-    print(f"pdata2 assembly: {t_asm2*1e3:8.2f} ms", flush=True)
+    print(f"g2p3d kernel   : {timeit(g2p, b, grid6)*1e3:8.2f} ms", flush=True)
+    out = jax.jit(g2p)(b, grid6)
 
-    t_g2p = timeit(lambda pd: tk3.g2p3d(pd, counts, grid6, dx, dinv), pdata2)
-    print(f"g2p3d kernel   : {t_g2p*1e3:8.2f} ms", flush=True)
+    # --- stage 6: particle update (approximate: blend + advect + J) ---
+    def particle_update(b, out):
+        o = out.reshape(r0 * r1, out.shape[2], k)
+        vpic = [o[:, a] for a in range(3)]
+        vold = [o[:, 3 + a] for a in range(3)]
+        c_new = [o[:, 6 + i] for i in range(9)]
+        alpha = jnp.float32(cfg.flip_blend)
+        nv = [
+            alpha * (vv + vp - vo) + (1 - alpha) * vp
+            for vv, vp, vo in zip((b.v0, b.v1, b.v2), vpic, vold)
+        ]
+        div_new = c_new[0] + c_new[4] + c_new[8]
+        return (
+            b.x0 + dt * vpic[0] * b.mask,
+            nv[0] * b.mask,
+            jnp.where(b.mask > 0, b.J * (1.0 + dt * div_new), 1.0),
+        )
 
-    # --- full substep for reference ---
+    print(f"particle update: {timeit(particle_update, b, out)*1e3:8.2f} ms", flush=True)
+
+    # --- full substep ---
     t_sub = timeit(lambda st: fast3d.substep(st, scene, spec), b, reps=5)
     print(f"full substep   : {t_sub*1e3:8.2f} ms", flush=True)
-    n_ops = n_p * 27 * 2
-    print(f"=> {n_ops / t_sub / 1e9:.3f} e9 transfer ops/s")
+    print(f"=> {n_p * 54 / t_sub / 1e9:.3f} e9 transfer ops/s", flush=True)
 
 
 if __name__ == "__main__":
