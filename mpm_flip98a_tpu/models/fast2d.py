@@ -339,14 +339,17 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
 
     # ---- P2G ----------------------------------------------------------
+    apic = cfg.transfer == TransferKind.APIC
     if domain is not None:
         # Slab shard: keep the fold's edge rows and trade them with the
         # neighbor shards (reduce partial sums in, gather completed rows
         # back); afterwards all r + 4 local rows hold global sums and the
         # grid update below is purely local.
-        gridsum = domain.halo_sync(tk.fold_rows_halo(tk.p2g(pdata, counts, g, dx, tent=tent)))
+        gridsum = domain.halo_sync(
+            tk.fold_rows_halo(tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic))
+        )
     else:
-        gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx, tent=tent))  # (nch, G, G)
+        gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic))
     if grid_reduce is not None:
         # Multi-chip particle DP: merge per-chip partial grids over ICI
         # (parallel/fast_replicated.py passes a psum here).

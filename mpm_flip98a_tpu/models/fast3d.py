@@ -185,23 +185,29 @@ def to_host(b: FluidBuckets3D) -> dict:
     return out
 
 
-def _axis_bands(cfg: MPMConfig):
+def _axis_bands(cfg: MPMConfig, row_index0=None):
     """(low, high) wall-band masks per axis, broadcastable against the
     channel-layout grid (G0, G1, ch, G2) — same node sets as
-    models/stabilized._apply_wall_bc (box faces at PAD / G-1-PAD)."""
+    models/stabilized._apply_wall_bc (box faces at PAD / G-1-PAD).
+    `row_index0` carries GLOBAL axis-0 node indices for a slab-local
+    buffer (parallel/fast_domain3d.py)."""
     g = cfg.num_grids
     lo, hi = int(PAD), g - 1 - int(PAD)
     idx = jnp.arange(g)
-    shapes = [(g, 1, 1, 1), (1, g, 1, 1), (1, 1, 1, g)]
-    return [
-        ((idx <= lo).reshape(s), (idx >= hi).reshape(s)) for s in shapes
+    idx0 = idx if row_index0 is None else row_index0
+    n0 = idx0.shape[0]
+    out = [
+        ((idx0 <= lo).reshape(n0, 1, 1, 1), (idx0 >= hi).reshape(n0, 1, 1, 1))
     ]
+    for s in [(1, g, 1, 1), (1, 1, 1, g)]:
+        out.append(((idx <= lo).reshape(s), (idx >= hi).reshape(s)))
+    return out
 
 
-def _wall_bc_ch(v: jax.Array, cfg: MPMConfig, wall) -> jax.Array:
+def _wall_bc_ch(v: jax.Array, cfg: MPMConfig, wall, row_index0=None) -> jax.Array:
     """Slip/sticky walls on a channel-layout velocity grid (G0, G1, 3, G2);
     semantics identical to models/stabilized._apply_wall_bc."""
-    bands = _axis_bands(cfg)
+    bands = _axis_bands(cfg, row_index0)
     if wall.kind == "sticky":
         anyband = jnp.zeros((), jnp.bool_)
         for low, high in bands:
@@ -216,13 +222,15 @@ def _wall_bc_ch(v: jax.Array, cfg: MPMConfig, wall) -> jax.Array:
     return jnp.concatenate(parts, axis=2)
 
 
-def _wall_normal_diag_ch(cfg: MPMConfig) -> jax.Array:
+def _wall_normal_diag_ch(cfg: MPMConfig, row_index0=None) -> jax.Array:
     """sum_walls n (x) n diagonal in channel layout (G0, G1, 3, G2);
     semantics identical to models/stabilized._wall_normal_diag."""
     g = cfg.num_grids
+    bands = _axis_bands(cfg, row_index0)
+    n0 = bands[0][0].shape[0]
     diag = [
-        jnp.broadcast_to((low | high), (g, g, 1, g)).astype(jnp.float32)
-        for low, high in _axis_bands(cfg)
+        jnp.broadcast_to((low | high), (n0, g, 1, g)).astype(jnp.float32)
+        for low, high in bands
     ]
     return jnp.concatenate(diag, axis=2)
 
@@ -262,7 +270,7 @@ def _polar3d_rows(F, iters: int = 12):
     return r
 
 
-def _grid_update(gs: jax.Array, scene: Scene, ext: bool) -> jax.Array:
+def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax.Array:
     """Grid momentum update on the fold's (G0, G1, nch, G2) layout —
     transpose-free (fold_rows0 already emits the G2P grid layout; the
     moveaxis-based version cost ~30 ms/substep at 256^3)."""
@@ -279,7 +287,7 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool) -> jax.Array:
         # Implicit normal-velocity penalty, diagonal for the axis-aligned
         # box (same formulation as models/stabilized.py / fast2d.py).
         beta = jnp.float32(cfg.penalty_parameter(scene.physics))
-        pen = _wall_normal_diag_ch(cfg)            # (G0, G1, 3, G2)
+        pen = _wall_normal_diag_ch(cfg, row_index0)  # (G0, G1, 3, G2)
         rhs = gs[:, :, 3:6] + dt * g_m[:, :, None] * gravc
         v_new = jnp.where(
             hc, rhs / (g_m[:, :, None] + dt * beta * pen), 0.0
@@ -287,7 +295,7 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool) -> jax.Array:
     else:
         vng = jnp.where(hc, gs[:, :, 3:6] / safe[:, :, None], 0.0)
         vng = vng + dt * gravc * hc.astype(jnp.float32)
-        v_new = _wall_bc_ch(vng, cfg, scene.wall)
+        v_new = _wall_bc_ch(vng, cfg, scene.wall, row_index0)
     gparts = [v_new, v0g]
     if ext:
         v0sum = gs[:, :, 8]
@@ -307,24 +315,33 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool) -> jax.Array:
 
 
 def _finish_substep(
-    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts
+    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts,
+    domain=None, x0k=None, x0_shift=None, row_index0=None,
 ) -> FluidBuckets3D:
     """Fused tail of the single-fluid substep: grid update + the
     update-mode G2P (FLIP blend / advect / J update in-kernel)."""
     cfg = scene.cfg
     r0, r1, k = spec.rows0, spec.rows1, spec.capacity
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
-    grid_ch = _grid_update(tk3.fold_rows0(expanded), scene, ext=False)
+    if x0k is None:
+        x0k = b.x0
+    if domain is not None:
+        gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
+    else:
+        gs = tk3.fold_rows0(expanded)
+    grid_ch = _grid_update(gs, scene, ext=False, row_index0=row_index0)
     shaped = lambda a: a.reshape(r0, r1, k)
     out = tk3.g2p3d(
-        shaped(b.x0), shaped(b.x1), shaped(b.x2), shaped(b.mask),
+        shaped(x0k), shaped(b.x1), shaped(b.x2), shaped(b.mask),
         counts, grid_ch, float(cfg.dx), dinv, float(cfg.inv_dx), float(PAD),
         state=(shaped(b.v0), shaped(b.v1), shaped(b.v2), shaped(b.J)),
         alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
+        prepadded0=domain is not None,
     ).reshape(r0 * r1, tk3.G2P_UPD, k)
+    x0_new = out[:, 0] if x0_shift is None else out[:, 0] + x0_shift
     return dataclasses.replace(
         b,
-        x0=out[:, 0], x1=out[:, 1], x2=out[:, 2],
+        x0=x0_new, x1=out[:, 1], x2=out[:, 2],
         v0=out[:, 3], v1=out[:, 4], v2=out[:, 5],
         C00=out[:, 6], C01=out[:, 7], C02=out[:, 8],
         C10=out[:, 9], C11=out[:, 10], C12=out[:, 11],
@@ -333,7 +350,9 @@ def _finish_substep(
     )
 
 
-def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D:
+def substep(
+    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, domain=None
+) -> FluidBuckets3D:
     cfg = scene.cfg
     assert cfg.dim == 3
     if cfg.kernel != KernelKind.BSPLINE:
@@ -348,6 +367,19 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
     dx = float(cfg.dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
     apic = cfg.transfer == TransferKind.APIC
+    if domain is not None:
+        # Slab shard (parallel/fast_domain3d.py): kernels index axis-0
+        # bucket rows locally, so shift positions by the slab origin; the
+        # fused G2P advects the SHIFTED x0 and the caller's origin is
+        # added back exactly (dead slots: (0 - a) + a == 0 in fp).
+        lo = jax.lax.axis_index(domain.axis) * r0
+        x0_shift = lo.astype(jnp.float32) * jnp.float32(dx)
+        x0k = b.x0 - x0_shift
+        row_index0 = lo - 1 + jnp.arange(r0 + 4)
+    else:
+        x0_shift = None
+        x0k = b.x0
+        row_index0 = None
 
     cmat = [[getattr(b, f"C{a}{c}") for c in range(3)] for a in range(3)]
     fmat = [getattr(b, f"F{a}{c}") for a in range(3) for c in range(3)]
@@ -367,7 +399,7 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
     )
     if fused:
         fields = (
-            shaped(b.x0), shaped(b.x1), shaped(b.x2),
+            shaped(x0k), shaped(b.x1), shaped(b.x2),
             shaped(b.v0), shaped(b.v1), shaped(b.v2),
             *(shaped(cmat[a][c]) for a in range(3) for c in range(3)),
             shaped(b.J), shaped(b.mass), shaped(b.vol0),
@@ -381,7 +413,9 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
             gamma=float(scene.params.tait_gamma),
             fa=float(-cfg.dt * dinv),
         )
-        return _finish_substep(b, scene, spec, expanded, counts)
+        return _finish_substep(
+            b, scene, spec, expanded, counts, domain, x0k, x0_shift, row_index0
+        )
     # Semi-implicit lag correction on the fused nodal averages (see
     # fast2d.substep: advance by the known local rates; div = tr C).
     jbar_adv = b.jbar_s * (1.0 + dt * div_lag) if ext else b.jbar_s
@@ -482,7 +516,7 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
             shaped(v0m * p_point_out), shaped(v0m * div_lag),
         )
     fields = (
-        shaped(b.x0), shaped(b.x1), shaped(b.x2),
+        shaped(x0k), shaped(b.x1), shaped(b.x2),
         shaped(m * b.v0), shaped(m * b.v1), shaped(m * b.v2),
         *((shaped(p_aff[a][c]) for a in range(3) for c in range(3)) if apic else ()),
         *(shaped(q_aff[a][c]) for a in range(3) for c in range(3)),
@@ -491,19 +525,22 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
     )
 
     # ---- P2G + grid update ---------------------------------------------
-    gs = tk3.fold_rows0(
-        tk3.p2g3d(
-            fields, counts, g, g, dx, float(cfg.inv_dx), float(PAD),
-            apic=apic, ext=ext,
-        )
+    expanded = tk3.p2g3d(
+        fields, counts, g, g, dx, float(cfg.inv_dx), float(PAD),
+        apic=apic, ext=ext,
     )
-    grid_ch = _grid_update(gs, scene, ext)          # (G0, G1, gch, G2)
+    if domain is not None:
+        gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
+    else:
+        gs = tk3.fold_rows0(expanded)
+    grid_ch = _grid_update(gs, scene, ext, row_index0)  # (G0, G1, gch, G2)
 
     # ---- G2P ------------------------------------------------------------
     nout = tk3.G2P_OUT_EXT if ext else tk3.G2P_OUT
     out = tk3.g2p3d(
-        shaped(b.x0), shaped(b.x1), shaped(b.x2), shaped(b.mask),
+        shaped(x0k), shaped(b.x1), shaped(b.x2), shaped(b.mask),
         counts, grid_ch, dx, dinv, float(cfg.inv_dx), float(PAD), ext=ext,
+        prepadded0=domain is not None,
     ).reshape(r0 * r1, nout, spec.capacity)
     vpic = [out[:, a] for a in range(3)]
     vold = [out[:, 3 + a] for a in range(3)]
@@ -564,10 +601,12 @@ def substep(b: FluidBuckets3D, scene: Scene, spec: FastSpec3D) -> FluidBuckets3D
     )
 
 
-def _needs_rebucket(b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D) -> jax.Array:
+def _needs_rebucket(
+    b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D, row0=0
+) -> jax.Array:
     s, k = b.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (s, k), 0)
-    r0 = (rows // spec.rows1).astype(jnp.float32)
+    r0 = (row0 + rows // spec.rows1).astype(jnp.float32)
     r1 = (rows % spec.rows1).astype(jnp.float32)
     gx0 = b.x0 * jnp.float32(cfg.inv_dx) + jnp.float32(PAD)
     gx1 = b.x1 * jnp.float32(cfg.inv_dx) + jnp.float32(PAD)

@@ -110,7 +110,7 @@ def _row_weights(rel, w0, valid, t):
 # ---------------------------------------------------------------------------
 
 
-def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, ext: bool, tent: bool):
+def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, ext: bool, tent: bool, apic: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -125,10 +125,10 @@ def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, e
     # sparse buckets then cost one predicate each.
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx, ext=ext, tent=tent)
+        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx, ext=ext, tent=tent, apic=apic)
 
 
-def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: bool):
+def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: bool, apic: bool):
     pd = pdata_ref[0]  # (14, KC)
     k = pd.shape[1]
     gx0, gx1 = pd[0], pd[1]
@@ -143,7 +143,11 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: boo
     fx1 = gx1 - base1
     w1 = _taps(fx1, tent)
 
-    # Column one-hot weight matrix (K, G).
+    # Column one-hot weight matrix (K, G).  The column-affine term keeps
+    # the rank-1 fold (A2 @ (W (c - gx1)) = (A2 @ W) c - (A2 gx1) @ W):
+    # one big matmul amortises better than a second small W2 product at
+    # 2D's G = 512 widths (measured: a W2 variant lost 10% end-to-end).
+    # PIC configs skip the P-affine rows entirely (they are zero).
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, g), 1).astype(jnp.float32)
     w_mat = jnp.zeros((k, g), jnp.float32)
     for c in range(3):
@@ -154,25 +158,29 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: boo
     q_aff = (pd[8], pd[9], pd[10], pd[11])
     nch = P2G_CH_EXT if ext else P2G_CH
     plain = [pd[12 + e] for e in range(nch - 4)]  # m, V[, V0 J, V0, V0 p, V0 div]
-    arows = nch + 8
+    na2 = 4 if apic else 2  # column-linear rows: (P01, P11,) Q01, Q11
+    arows = nch + 2 * na2
 
     rows = []
     for t in range(NT):
         wr = _row_weights(rel, w0, valid, t)
         rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
         # Momentum channels (affine) + plain channels.
-        rows.append(wr * (mv[0] + p_aff[0] * rdp))
-        rows.append(wr * (mv[1] + p_aff[2] * rdp))
+        if apic:
+            rows.append(wr * (mv[0] + p_aff[0] * rdp))
+            rows.append(wr * (mv[1] + p_aff[2] * rdp))
+        else:
+            rows.append(wr * mv[0])
+            rows.append(wr * mv[1])
         rows.append(wr * (mv[0] + q_aff[0] * rdp))
         rows.append(wr * (mv[1] + q_aff[2] * rdp))
         rows.extend(wr * v for v in plain)
-        # 4 column-linear channels (coefficient of (c - gx1) * dx).
-        a2 = (
-            wr * p_aff[1] * dx,
-            wr * p_aff[3] * dx,
-            wr * q_aff[1] * dx,
-            wr * q_aff[3] * dx,
-        )
+        # Column-linear rows (coefficient of (c - gx1) * dx).
+        if apic:
+            a2 = (wr * p_aff[1] * dx, wr * p_aff[3] * dx,
+                  wr * q_aff[1] * dx, wr * q_aff[3] * dx)
+        else:
+            a2 = (wr * q_aff[1] * dx, wr * q_aff[3] * dx)
         rows.extend(a2)
         rows.extend(a * gx1 for a in a2)
 
@@ -184,11 +192,12 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: boo
         b = t * arows
         for ch in range(nch):
             val = o[b + ch : b + ch + 1, :]
-            if ch < 4:
+            cl = ch if apic else ch - 2  # column-linear row for this channel
+            if (apic and ch < 4) or (not apic and 2 <= ch < 4):
                 val = (
                     val
-                    + o[b + nch + ch : b + nch + 1 + ch, :] * colv
-                    - o[b + nch + 4 + ch : b + nch + 5 + ch, :]
+                    + o[b + nch + cl : b + nch + 1 + cl, :] * colv
+                    - o[b + nch + na2 + cl : b + nch + na2 + 1 + cl, :]
                 )
             out_ref[0, t, ch, :] += val[0]
 
@@ -202,9 +211,10 @@ def _chunk(k: int) -> int:
     return k // nc
 
 
-@functools.partial(jax.jit, static_argnames=("g", "dx", "tent"))
+@functools.partial(jax.jit, static_argnames=("g", "dx", "tent", "apic"))
 def p2g(
-    pdata: jax.Array, counts: jax.Array, g: int, dx: float, tent: bool = False
+    pdata: jax.Array, counts: jax.Array, g: int, dx: float, tent: bool = False,
+    apic: bool = True,
 ) -> jax.Array:
     """pdata (R, 8 + nch, K), counts (R,) int32 -> (R, 5, nch, G).
 
@@ -226,7 +236,7 @@ def p2g(
         ),
     )
     return pl.pallas_call(
-        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc, ext=ext, tent=tent),
+        functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc, ext=ext, tent=tent, apic=apic),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, NT, nch, g), jnp.float32),
         interpret=_interpret(),
@@ -303,15 +313,16 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
         w_t = w_t + jnp.where(rows_io == base1[None, :] + c, w1[c][None, :], 0.0)
 
     # Grid rows for the 5 candidate targets, channels-leading: each
-    # (gch, G); stack plain + column-weighted variants.
+    # (gch, G); only the v_new rows need the column-weighted variant
+    # (the C column term) — gch + 2 gather rows per target, not 2 gch.
     gch = G2P_CH_EXT if ext else G2P_CH
     colv = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1).astype(jnp.float32)
     gs = []
     for t in range(NT):
         gt = grid_refs[t][0]            # (gch, G)
         gs.append(gt)
-        gs.append(gt * colv)
-    gboth = jnp.concatenate(gs, axis=0)  # (5 * 2 gch, G)
+        gs.append(gt[0:2] * colv)
+    gboth = jnp.concatenate(gs, axis=0)  # (5 * (gch + 2), G)
 
     s = jnp.dot(gboth, w_t, preferred_element_type=jnp.float32)
 
@@ -323,7 +334,7 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
     for t in range(NT):
         wr = _row_weights(rel, w0, valid, t)
         rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
-        b = 2 * gch * t
+        b = (gch + 2) * t
         for a in range(2):
             sv = s[b + a]
             svc = s[b + gch + a]

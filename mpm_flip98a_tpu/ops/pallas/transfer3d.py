@@ -371,6 +371,17 @@ def fold_rows0(expanded: jax.Array) -> jax.Array:
     return sum(e[nt - 1 - t : nt - 1 - t + r, t] for t in range(nt))
 
 
+def fold_rows0_halo(expanded: jax.Array) -> jax.Array:
+    """(L, 5, G1, ch, G2) -> (L + 4, G1, ch, G2): like fold_rows0 but
+    UNcropped — row j of the result is axis-0 target row j - 1 relative to
+    bucket row 0 (global rows [lo - 1, lo + L + 3) for a slab starting at
+    lo).  The 3D slab-sharded fast path halo-exchanges the edge rows
+    (parallel/fast_domain3d.py)."""
+    r, nt, g1, ch, g2 = expanded.shape
+    e = jnp.pad(expanded, ((nt - 1, nt - 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+    return sum(e[nt - 1 - t : nt - 1 - t + r + nt - 1, t] for t in range(nt))
+
+
 # ---------------------------------------------------------------------------
 # G2P
 # ---------------------------------------------------------------------------
@@ -516,7 +527,9 @@ def _g2p3d_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dx", "dinv", "inv_dx", "pad", "ext", "alpha", "dtv"),
+    static_argnames=(
+        "dx", "dinv", "inv_dx", "pad", "ext", "alpha", "dtv", "prepadded0"
+    ),
 )
 def g2p3d(
     x0: jax.Array,
@@ -533,6 +546,7 @@ def g2p3d(
     state=None,
     alpha: float = 0.0,
     dtv: float = 0.0,
+    prepadded0: bool = False,
 ) -> jax.Array:
     """x/mask (R0, R1, K), grid (R0, R1, gch, G2) -> (R0, R1, nout, K).
 
@@ -545,8 +559,15 @@ def g2p3d(
     assert grid.shape[2] == gch, grid.shape
     g2 = grid.shape[3]
     nout = G2P_UPD if update else (G2P_OUT_EXT if ext else G2P_OUT)
-    padded = jnp.zeros((r0 + NT - 1, r1 + NT - 1, gch, g2), grid.dtype)
-    padded = padded.at[1 : r0 + 1, 1 : r1 + 1].set(grid)
+    if prepadded0:
+        # Axis 0 already carries the +-halo rows (slab shard buffer,
+        # row j = target row j - 1); pad axis 1 only.
+        assert grid.shape[0] == r0 + NT - 1, (grid.shape, r0)
+        padded = jnp.zeros((r0 + NT - 1, r1 + NT - 1, gch, g2), grid.dtype)
+        padded = padded.at[:, 1 : r1 + 1].set(grid)
+    else:
+        padded = jnp.zeros((r0 + NT - 1, r1 + NT - 1, gch, g2), grid.dtype)
+        padded = padded.at[1 : r0 + 1, 1 : r1 + 1].set(grid)
 
     kc = _chunk3d(k)
     b1 = _batch1(r1)

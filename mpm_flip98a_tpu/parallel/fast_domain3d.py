@@ -1,0 +1,196 @@
+"""Slab-sharded execution of the 3D Pallas fast path.
+
+3D counterpart of parallel/fast_domain.py: the grid's axis 0 is sliced
+into slabs of pencil-bucket rows (bucket pair index = r0 * R1 + r1 is
+r0-major, so a slab of r0 rows is a contiguous block of buckets).  Per
+substep one halo exchange moves the 4 folded edge planes (1 below, 3
+above, each (G1, nch, G2)) over ICI; particles migrate between shards
+only on collective rebucket events.  All four fast-path kernel modes
+(fused fluid, generic multi-material, ext stabilization, penalty EBC)
+run unchanged on the local window — fast3d.substep(domain=...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpm_flip98a_tpu.config import MPMConfig
+from mpm_flip98a_tpu.models import fast3d
+from mpm_flip98a_tpu.models.fast3d import (
+    FastSpec3D,
+    FluidBuckets3D,
+    _field_list,
+    _safe_dead_slots,
+)
+from mpm_flip98a_tpu.models.stabilized import PAD, Scene
+from mpm_flip98a_tpu.ops import binning
+from mpm_flip98a_tpu.parallel.domain import _perm_left, _perm_right
+from mpm_flip98a_tpu.parallel.fast_domain import H_HI, H_LO
+
+
+@dataclasses.dataclass(frozen=True)
+class FastDomain3DSpec:
+    n_shards: int
+    rows_per_shard: int   # L: axis-0 bucket rows per shard (n * L >= G)
+    local_spec: FastSpec3D  # rows0 = L (local), rows1 = G
+    mig_cap: int
+
+    @staticmethod
+    def for_particles(
+        cfg: MPMConfig, n_shards: int, p, headroom: float = 2.0
+    ) -> "FastDomain3DSpec":
+        g = cfg.num_grids
+        rows = -(-g // n_shards)
+        assert rows >= 4, "slabs must be at least 4 rows for the halo window"
+        x = np.asarray(p.x)
+        r0 = np.floor(x[:, 0] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
+        r1 = np.floor(x[:, 1] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
+        pair = np.clip(r0, 0, g - 1) * g + np.clip(r1, 0, g - 1)
+        occ = int(np.bincount(pair, minlength=g * g).max())
+        cap = max(128, -(-int(headroom * occ) // 128) * 128)
+        return FastDomain3DSpec(
+            n_shards=n_shards,
+            rows_per_shard=rows,
+            local_spec=FastSpec3D(rows0=rows, rows1=g, capacity=cap),
+            mig_cap=max(128, cap * 2),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FastDomain3DCtx:
+    """Runtime context handed to fast3d.substep(domain=...)."""
+
+    axis: str
+    n: int
+
+    def halo_sync(self, buf: jax.Array) -> jax.Array:
+        """(L + 4, G1, nch, G2) folded sums -> globally complete planes
+        (reduce edge partial sums into the owning neighbor, then gather
+        completed planes back; see parallel/fast_domain.halo_sync)."""
+        n = self.n
+        l = buf.shape[0] - (H_LO + H_HI)
+        recv = jax.lax.ppermute(buf[0:H_LO], self.axis, _perm_left(n))
+        buf = buf.at[l : l + H_LO].add(recv)
+        recv = jax.lax.ppermute(buf[l + H_LO :], self.axis, _perm_right(n))
+        buf = buf.at[H_LO : H_LO + H_HI].add(recv)
+        recv = jax.lax.ppermute(buf[l : l + H_LO], self.axis, _perm_right(n))
+        buf = buf.at[0:H_LO].set(recv)
+        recv = jax.lax.ppermute(buf[H_LO : H_LO + H_HI], self.axis, _perm_left(n))
+        buf = buf.at[l + H_LO :].set(recv)
+        return buf
+
+
+def distribute(
+    p, cfg: MPMConfig, spec: FastDomain3DSpec, mesh: Mesh, axis: str = "x"
+) -> FluidBuckets3D:
+    """Bucket by GLOBAL (r0, r1) pencil into the (n * L * G, K) layout —
+    shard s owns pencil rows [s L G, (s+1) L G) — placed sharded."""
+    n, l = spec.n_shards, spec.rows_per_shard
+    k = spec.local_spec.capacity
+    g = spec.local_spec.rows1
+    gspec = FastSpec3D(rows0=n * l, rows1=g, capacity=k)
+    b = fast3d.from_particles(p, cfg, gspec)
+    if int(b.overflow) != 0:
+        raise ValueError(f"initial bucketing overflowed capacity {k}")
+    b = dataclasses.replace(b, overflow=jnp.zeros((n,), jnp.int32))
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), b)
+
+
+def rebucket_migrate(
+    b: FluidBuckets3D, scene: Scene, spec: FastDomain3DSpec, axis: str
+) -> FluidBuckets3D:
+    """Exchange slots whose axis-0 base row left the slab with the
+    adjacent shards, then re-sort survivors + arrivals into local pencil
+    buckets (one bucket_by_row pass).  Mirrors fast_domain.rebucket_migrate."""
+    cfg = scene.cfg
+    n, l = spec.n_shards, spec.rows_per_shard
+    g = spec.local_spec.rows1
+    k, m = spec.local_spec.capacity, spec.mig_cap
+    s = jax.lax.axis_index(axis)
+    lo = s * l
+
+    flat = tuple(f.reshape(-1) for f in _field_list(b))
+    active = b.mask.reshape(-1) > 0
+    inv_dx = jnp.float32(cfg.inv_dx)
+    r0g = jnp.floor(flat[0] * inv_dx + jnp.float32(PAD) - 0.5).astype(jnp.int32)
+    go_l = active & (r0g < lo)
+    go_r = active & (r0g >= lo + l)
+
+    def pack(mask):
+        order = jnp.argsort(jnp.logical_not(mask))
+        idx = order[:m]
+        return tuple(f[idx] for f in flat), mask[idx]
+
+    send_l, val_l = pack(go_l)
+    send_r, val_r = pack(go_r)
+    mig_drop = (
+        jnp.maximum(jnp.sum(go_l) - m, 0) + jnp.maximum(jnp.sum(go_r) - m, 0)
+    ).astype(jnp.int32)
+
+    pp = lambda tree, perm: jax.tree.map(
+        lambda a: jax.lax.ppermute(a, axis, perm), tree
+    )
+    in_from_right = pp((send_l, val_l), _perm_left(n))
+    in_from_left = pp((send_r, val_r), _perm_right(n))
+
+    stay = active & jnp.logical_not(go_l | go_r)
+    cat = tuple(
+        jnp.concatenate([flat[i], in_from_left[0][i], in_from_right[0][i]])
+        for i in range(len(flat))
+    )
+    act = jnp.concatenate([stay, in_from_left[1], in_from_right[1]])
+    r0a = jnp.floor(cat[0] * inv_dx + jnp.float32(PAD) - 0.5).astype(jnp.int32) - lo
+    r1a = jnp.floor(cat[1] * inv_dx + jnp.float32(PAD) - 0.5).astype(jnp.int32)
+    pair = jnp.clip(r0a, 0, l - 1) * g + jnp.clip(r1a, 0, g - 1)
+    fields, mask, ovf = binning.bucket_by_row(pair, act, cat, l * g, k)
+    return _safe_dead_slots(
+        FluidBuckets3D(
+            *fields,
+            mask=mask.astype(jnp.float32),
+            overflow=b.overflow + ovf + mig_drop,
+        )
+    )
+
+
+def make_run(scene: Scene, spec: FastDomain3DSpec, mesh: Mesh, axis: str = "x"):
+    """Build `run(buckets, n_substeps)`: the sharded 3D fast-path stepper
+    with adaptive (collective) rebucket + migration."""
+    cfg = scene.cfg
+    ctx = FastDomain3DCtx(axis=axis, n=spec.n_shards)
+    lspec = spec.local_spec
+    l = spec.rows_per_shard
+
+    in_spec = FluidBuckets3D(
+        **{f: P(axis) for f in FluidBuckets3D.__dataclass_fields__}
+    )
+
+    def local(bl: FluidBuckets3D) -> FluidBuckets3D:
+        s = jax.lax.axis_index(axis)
+        need = jax.lax.psum(
+            fast3d._needs_rebucket(bl, cfg, lspec, row0=s * l).astype(jnp.int32),
+            axis,
+        )
+        bl = jax.lax.cond(
+            need > 0,
+            lambda st: rebucket_migrate(st, scene, spec, axis),
+            lambda st: st,
+            bl,
+        )
+        return fast3d.substep(bl, scene, lspec, domain=ctx)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec, check_vma=False
+    )
+
+    @partial(jax.jit, static_argnames=("n_substeps",))
+    def run(b: FluidBuckets3D, n_substeps: int) -> FluidBuckets3D:
+        return jax.lax.fori_loop(0, n_substeps, lambda _, st: sharded(st), b)
+
+    return run
