@@ -106,6 +106,9 @@ class MPMConfig:
     flip_blend: float = 0.0                       # alpha: 1=FLIP, 0=APIC/PIC, config.py:29
     pressure_mixing_ratio: float = 0.0            # 1=mixed, 0=pointwise, config.py:28
     eos: EOSKind = EOSKind.LINEAR
+    # EXTENSION beyond the reference switch set: continuum-surface-force
+    # surface tension [N/m] on the general path (0 = off).
+    surface_tension: float = 0.0
 
     # -- penalty essential BCs ------------------------------------------
     penalty: float = 1e6                          # config.py:27

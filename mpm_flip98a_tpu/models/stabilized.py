@@ -267,6 +267,44 @@ def _apply_wall_bc(
     return v
 
 
+def _csf_force(g_m: jax.Array, cfg: MPMConfig, physics, dtype) -> jax.Array:
+    """Continuum-surface-force density sigma kappa grad(c~) on the grid.
+
+    The normalized, binomially-smoothed nodal mass field is the color
+    function c~ in [0, 1]; n = grad c~, kappa = -div(n / |n|).  Nodes far
+    from the interface (|n| below 1% of the global max) contribute
+    nothing — this also kills the B-spline deposition ripple that
+    survives the smoothing.  EXTENSION beyond the reference's switch set
+    (config.py:18-29); general path only.
+
+    Slab-decomposition caveat: the gradient at the outermost halo row of
+    a local buffer is one-sided, so shards disagree on that halo copy
+    when the interface touches a slab edge (H = 2 halos carry the field
+    itself, not its derivatives).  Fine for the single-chip path and
+    interfaces away from slab boundaries; not yet exact under
+    parallel/domain.py."""
+    d = g_m.ndim
+    inv_dx = jnp.asarray(cfg.inv_dx, dtype)
+    c = g_m / jnp.maximum(jnp.max(g_m), jnp.asarray(1e-30, dtype))
+    # One binomial (1,2,1)/4 pass per axis smooths the deposition ripple.
+    for a in range(d):
+        up = jnp.roll(c, 1, axis=a).at[(slice(None),) * a + (0,)].set(0.0)
+        dn = jnp.roll(c, -1, axis=a).at[(slice(None),) * a + (-1,)].set(0.0)
+        c = 0.25 * up + 0.5 * c + 0.25 * dn
+    grad = [jnp.gradient(c, axis=a) * inv_dx for a in range(d)]
+    n = jnp.stack(grad, axis=-1)
+    mag = jnp.sqrt(jnp.sum(n * n, axis=-1))
+    near = mag > 0.01 * jnp.max(mag)
+    safe = jnp.where(near, mag, 1.0)
+    nhat = jnp.where(near[..., None], n / safe[..., None], 0.0)
+    div_nhat = sum(
+        jnp.gradient(nhat[..., a], axis=a) * inv_dx for a in range(d)
+    )
+    kappa = -div_nhat
+    sigma = jnp.asarray(cfg.surface_tension, dtype)
+    return jnp.where(near[..., None], sigma * kappa[..., None] * n, 0.0)
+
+
 def substep_grid(
     p: Particles,
     scene: Scene,
@@ -378,6 +416,14 @@ def substep_grid(
 
     grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), dt_)
     rhs = g_mv1 + dt * g_m[..., None] * grav
+    if cfg.surface_tension > 0.0:
+        # EXTENSION (beyond the reference switch set): continuum surface
+        # force (Brackbill et al. 1992) from the nodal mass field as
+        # color function — F/V = sigma kappa grad(c~), applied as a nodal
+        # force dt F/V * (m/rho).
+        rhs = rhs + dt * _csf_force(
+            g_m, cfg, scene.physics, dt_
+        ) * (g_m / jnp.asarray(scene.physics.particle_density, dt_))[..., None]
     if cfg.use_penalty_ebc:
         # Matrix nodal mass: A = m I + dt beta sum n(x)n  (diagonal for the
         # axis-aligned box), solved per node (fields.py:28 mass_grid 2x2).

@@ -15,7 +15,6 @@ decomposition + halo exchange), which communicates only O(halo) data.
 from __future__ import annotations
 
 from functools import partial
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -17,7 +17,6 @@ import os
 from typing import Any, Type
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 

@@ -91,3 +91,14 @@ def test_multimaterial_sharded_matches_single():
     ref = _single(p, scene, 4)
     np.testing.assert_allclose(_sorted_xyz(out), _sorted_xyz(ref), atol=1e-6)
     assert int(np.asarray(out.overflow).sum()) == 0
+
+
+def test_fused_stabilizers_sharded_matches_single():
+    # ext channels (F-bar + pressure mixing) through the generic kernel
+    # mode under the slab decomposition: the nodal-average ratios must be
+    # formed AFTER the halo completes the sums.
+    p, scene, mesh, spec, b = _setup(use_fbar=True, pressure_mixing_ratio=0.5)
+    out = make_run(scene, spec, mesh)(b, 4)
+    ref = _single(p, scene, 4)
+    np.testing.assert_allclose(_sorted_xyz(out), _sorted_xyz(ref), atol=1e-6)
+    assert int(np.asarray(out.overflow).sum()) == 0
