@@ -95,6 +95,7 @@ class Simulation:
         self.frame_dir, self.vtk_dir = create_file_paths(self.tag, out_dir)
         self.render_res = render_res
         self.frames = []
+        self._host_cache = None
         self.total_time = 0.0
         self.frame_count = 0
         if path == "fast":
@@ -113,9 +114,17 @@ class Simulation:
 
     # -- state access ----------------------------------------------------
 
+    def _host_state(self) -> dict:
+        """Per-frame cached host pull of the fast-path bucket state: the
+        device->host transfer rides the remote tunnel (~0.5 s/10 MB), and
+        positions() + material_colors() both need it every frame."""
+        if self._host_cache is None or self._host_cache[0] != self.frame_count:
+            self._host_cache = (self.frame_count, self._fast.to_host(self.state))
+        return self._host_cache[1]
+
     def positions(self) -> np.ndarray:
         if self.path == "fast":
-            h = self._fast.to_host(self.state)
+            h = self._host_state()
             keys = ["x0", "x1", "x2"][: self.cfg.dim]
             return np.stack([h[k] for k in keys], axis=-1)
         return np.asarray(self.state.x)[:, : self.cfg.dim]
@@ -124,8 +133,7 @@ class Simulation:
         """Per-particle RGB by material id (fluid blue, solids in the
         reference's impact-block palette, mls-mpm88-explained.cpp:194,199)."""
         if self.path == "fast":
-            h = self._fast.to_host(self.state)
-            mats = h["mat"].astype(np.int64)
+            mats = self._host_state()["mat"].astype(np.int64)
         else:
             mats = np.asarray(self.state.material)
         palette = np.array(
@@ -189,6 +197,7 @@ class Simulation:
         meta = ckpt.load_meta(path)
         self.total_time = meta["total_time"]
         self.frame_count = meta["frame_count"]
+        self._host_cache = None  # restored state invalidates the frame cache
 
     def run(
         self,

@@ -28,7 +28,15 @@ def main():
         dt=1e-5,
     )
     sim = Simulation(p, scene, path="fast", out_dir=args.out, tag="elastic_drop3d")
-    sim.run(n_frames=args.frames, substeps_per_frame=args.substeps, gif=True)
+    # Manual frame loop: skip VTK (the GIF is the artifact) — the frame
+    # bottleneck is the remote device->host pull + file IO, not compute.
+    from mpm_flip98a_tpu.utils import render
+
+    for i in range(args.frames):
+        sim.step_frame(args.substeps)
+        sim.post_process(write_vtk=False)
+        print(f"frame {i + 1}/{args.frames}", flush=True)
+    render.write_gif(sim.frames, f"{sim.frame_dir}/output.gif")
     dst = os.path.join(args.out, "elastic_drop3d.gif")
     os.replace(f"{sim.frame_dir}/output.gif", dst)
     print("wrote", dst)
