@@ -355,7 +355,9 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
         # (parallel/fast_replicated.py passes a psum here).
         gridsum = grid_reduce(gridsum)
     g_m = gridsum[4]
-    has = g_m > 0
+    # Relative mass floor — see fast3d._grid_update: knife-edge taps leave
+    # ~1e-15-mass nodes whose velocity update is fp noise.
+    has = g_m > 1e-8 * jnp.max(g_m)
     safe = jnp.where(has, g_m, 1.0)
     v0g = jnp.where(has, gridsum[0:2] / safe, 0.0)      # pre-force
     grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)

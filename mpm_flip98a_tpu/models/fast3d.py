@@ -277,7 +277,14 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax
     cfg = scene.cfg
     dt = jnp.float32(cfg.dt)
     g_m = gs[:, :, 6]                              # (G0, G1, G2)
-    has = g_m > 0
+    # Relative mass floor: knife-edge stencil taps (fx within 1 ulp of a
+    # tap boundary) deposit ~1e-15 x a particle mass on isolated nodes;
+    # momentum/mass there is pure fp noise that the velocity update turns
+    # into O(1) junk kicks (measured: exponential blowup of an
+    # under-resolved 64^3 scene on TPU, where FMA tap rounding differs
+    # from the CPU build).  A node carrying < 1e-8 of the heaviest node
+    # is dynamically meaningless — treat it as empty.
+    has = g_m > 1e-8 * jnp.max(g_m)
     safe = jnp.where(has, g_m, 1.0)
     hc = has[:, :, None]
     v0g = jnp.where(hc, gs[:, :, 0:3] / safe[:, :, None], 0.0)
@@ -316,7 +323,7 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax
 
 def _finish_substep(
     b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts,
-    domain=None, x0k=None, x0_shift=None, row_index0=None,
+    gxs, domain=None, x0k=None, x0_shift=None, row_index0=None,
 ) -> FluidBuckets3D:
     """Fused tail of the single-fluid substep: grid update + the
     update-mode G2P (FLIP blend / advect / J update in-kernel)."""
@@ -332,9 +339,12 @@ def _finish_substep(
     grid_ch = _grid_update(gs, scene, ext=False, row_index0=row_index0)
     shaped = lambda a: a.reshape(r0, r1, k)
     out = tk3.g2p3d(
-        shaped(x0k), shaped(b.x1), shaped(b.x2), shaped(b.mask),
-        counts, grid_ch, float(cfg.dx), dinv, float(cfg.inv_dx), float(PAD),
-        state=(shaped(b.v0), shaped(b.v1), shaped(b.v2), shaped(b.J)),
+        *gxs, shaped(b.mask),
+        counts, grid_ch, float(cfg.dx), dinv,
+        state=(
+            shaped(b.v0), shaped(b.v1), shaped(b.v2), shaped(b.J),
+            shaped(x0k), shaped(b.x1), shaped(b.x2),
+        ),
         alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
         prepadded0=domain is not None,
     ).reshape(r0 * r1, tk3.G2P_UPD, k)
@@ -386,6 +396,16 @@ def substep(
     div_lag = cmat[0][0] + cmat[1][1] + cmat[2][2]
     shaped = lambda a: a.reshape(r0, r1, k)
     counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
+    # Grid coordinates are computed ONCE here and fed to BOTH kernels:
+    # in-kernel gx arithmetic let Mosaic's FMA rounding give P2G and G2P
+    # different stencil tap sets on knife-edge columns (exponential
+    # energy growth; see transfer3d._p2g3d_chunk).
+    invf, padf = jnp.float32(cfg.inv_dx), jnp.float32(PAD)
+    gxs = (
+        shaped(x0k * invf + padf),
+        shaped(b.x1 * invf + padf),
+        shaped(b.x2 * invf + padf),
+    )
 
     # ---- stress: component-form material dispatch (fast2d.py pattern) --
     ratio = float(cfg.pressure_mixing_ratio)
@@ -399,14 +419,14 @@ def substep(
     )
     if fused:
         fields = (
-            shaped(x0k), shaped(b.x1), shaped(b.x2),
+            *gxs,
             shaped(b.v0), shaped(b.v1), shaped(b.v2),
             *(shaped(cmat[a][c]) for a in range(3) for c in range(3)),
             shaped(b.J), shaped(b.mass), shaped(b.vol0),
         )
         eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
         expanded = tk3.p2g3d(
-            fields, counts, g, g, dx, float(cfg.inv_dx), float(PAD),
+            fields, counts, g, g, dx,
             apic=apic, stress=eos_name,
             kb=float(scene.params.bulk_modulus),
             mu=float(scene.params.dynamic_viscosity),
@@ -414,7 +434,8 @@ def substep(
             fa=float(-cfg.dt * dinv),
         )
         return _finish_substep(
-            b, scene, spec, expanded, counts, domain, x0k, x0_shift, row_index0
+            b, scene, spec, expanded, counts, gxs, domain, x0k, x0_shift,
+            row_index0,
         )
     # Semi-implicit lag correction on the fused nodal averages (see
     # fast2d.substep: advance by the known local rates; div = tr C).
@@ -516,7 +537,7 @@ def substep(
             shaped(v0m * p_point_out), shaped(v0m * div_lag),
         )
     fields = (
-        shaped(x0k), shaped(b.x1), shaped(b.x2),
+        *gxs,
         shaped(m * b.v0), shaped(m * b.v1), shaped(m * b.v2),
         *((shaped(p_aff[a][c]) for a in range(3) for c in range(3)) if apic else ()),
         *(shaped(q_aff[a][c]) for a in range(3) for c in range(3)),
@@ -525,10 +546,7 @@ def substep(
     )
 
     # ---- P2G + grid update ---------------------------------------------
-    expanded = tk3.p2g3d(
-        fields, counts, g, g, dx, float(cfg.inv_dx), float(PAD),
-        apic=apic, ext=ext,
-    )
+    expanded = tk3.p2g3d(fields, counts, g, g, dx, apic=apic, ext=ext)
     if domain is not None:
         gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
     else:
@@ -538,8 +556,8 @@ def substep(
     # ---- G2P ------------------------------------------------------------
     nout = tk3.G2P_OUT_EXT if ext else tk3.G2P_OUT
     out = tk3.g2p3d(
-        shaped(x0k), shaped(b.x1), shaped(b.x2), shaped(b.mask),
-        counts, grid_ch, dx, dinv, float(cfg.inv_dx), float(PAD), ext=ext,
+        *gxs, shaped(b.mask),
+        counts, grid_ch, dx, dinv, ext=ext,
         prepadded0=domain is not None,
     ).reshape(r0 * r1, nout, spec.capacity)
     vpic = [out[:, a] for a in range(3)]

@@ -410,7 +410,9 @@ def substep_grid(
     g_vol = g_out[..., 2 * d + 1]
 
     # ---- grid update ---------------------------------------------------
-    has_mass = g_m > 0
+    # Relative mass floor — see fast3d._grid_update: knife-edge stencil
+    # taps leave ~1e-15-mass nodes whose momentum/mass ratio is fp noise.
+    has_mass = g_m > 1e-8 * jnp.max(g_m)
     safe_m = jnp.where(has_mass, g_m, 1.0)
     v0 = jnp.where(has_mass[..., None], g_mv0 / safe_m[..., None], 0.0)
 

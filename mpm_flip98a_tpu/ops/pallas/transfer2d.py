@@ -72,6 +72,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot(a, b):
+    """Full-precision kernel matmul.  The MXU's DEFAULT precision runs
+    fp32 operands as ONE bf16 pass: measured 1.7e-3 partition-of-unity
+    error on the one-hot weight products, which acts as a 0.4%-level
+    per-transfer noise force and destabilized a 64^3 run within 300
+    substeps (TPU-only; interpret mode is exact fp32 and hid it).
+    HIGHEST restores fp32-quality results on the MXU."""
+    return jnp.dot(
+        a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # bf16x6 ~ full fp32
+    )
+
+
 def _axis_weights(fx):
     """Quadratic B-spline taps (mls-mpm88-explained.cpp:60-64)."""
     return (
@@ -185,7 +199,7 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: boo
         rows.extend(a * gx1 for a in a2)
 
     a_mat = jnp.stack(rows)  # (NT * arows, K)
-    o = jnp.dot(a_mat, w_mat, preferred_element_type=jnp.float32)
+    o = _dot(a_mat, w_mat)
 
     colv = cols[0:1, :]  # (1, G) column index as f32
     for t in range(NT):
@@ -324,7 +338,7 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
         gs.append(gt[0:2] * colv)
     gboth = jnp.concatenate(gs, axis=0)  # (5 * (gch + 2), G)
 
-    s = jnp.dot(gboth, w_t, preferred_element_type=jnp.float32)
+    s = _dot(gboth, w_t)
 
     vpic = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
     vold = [jnp.zeros((k,), jnp.float32) for _ in range(2)]

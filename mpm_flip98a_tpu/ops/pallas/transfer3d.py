@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights, _interpret, _row_weights
+from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights, _dot, _interpret, _row_weights
 
 NT = 5
 P2G_CH = 7            # mv_pure(3), mv_forced(3), m
@@ -115,8 +115,6 @@ def _p2g3d_kernel(
     g1: int,
     g2t: int,
     dx: float,
-    inv_dx: float,
-    pad: float,
     kc: int,
     apic: bool,
     ext: bool,
@@ -140,7 +138,7 @@ def _p2g3d_kernel(
 
     # The pencil loop is a lax loop (not a Python unroll): b1 * nk unrolled
     # chunk bodies at ~250 A rows each would blow up Mosaic compile time.
-    # Dynamic sublane indexing (refs[.][0, b, chunk]) is cheap on TPU.
+    # Dynamic pencil-row extraction uses pltpu.roll (_take_row).
     def pencil(b, carry):
         i1 = gq * b1 + b
         cnt = counts_ref[i0 * r1 + i1]
@@ -151,7 +149,7 @@ def _p2g3d_kernel(
             def _(q=q):
                 _p2g3d_chunk(
                     in_refs, out_ref, i0, i1, tz, b, q,
-                    g1=g1, g2t=g2t, dx=dx, inv_dx=inv_dx, pad=pad, kc=kc,
+                    g1=g1, g2t=g2t, dx=dx, kc=kc,
                     apic=apic, ext=ext, stress=stress, kb=kb, mu=mu,
                     gamma=gamma, fa=fa,
                 )
@@ -169,11 +167,19 @@ def _take_row(block, b):
 
 def _p2g3d_chunk(
     refs, out_ref, i0, i1, tz, b, q,
-    *, g1, g2t, dx, inv_dx, pad, kc, apic, ext, stress, kb, mu, gamma, fa,
+    *, g1, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa,
 ):
     sl = slice(q * kc, (q + 1) * kc)
     ld = lambda ix: _take_row(refs[ix][0], b)[sl]
-    x = [ld(0), ld(1), ld(2)]
+    # Grid coordinates arrive PRECOMPUTED (one XLA pass feeds both
+    # kernels).  Computing gx = x * inv_dx + pad in-kernel let Mosaic's
+    # FMA rounding differ BETWEEN the P2G and G2P programs: on knife-edge
+    # lattice columns (gx - 0.5 within 1 ulp of an integer) the two
+    # kernels then disagree on the stencil tap set, particles scatter to
+    # nodes they never gather from, and the asymmetric transfer pumps an
+    # under-resolved 64^3 scene into exponential blowup (measured; the 2D
+    # kernels always passed precomputed gx, which is why 2D was stable).
+    gx0, gx1, gx2 = ld(0), ld(1), ld(2)
     if stress is not None:
         # Fused fluid stress: compute mv / P / Q from raw state in-chunk —
         # only ACTIVE chunks pay, where the XLA prep pass at 8M paid for
@@ -216,9 +222,6 @@ def _p2g3d_chunk(
         mass = ld(qbase + 9)
         extras = tuple(ld(qbase + 10 + e) for e in range(4)) if ext else ()
 
-    gx0 = x[0] * inv_dx + pad
-    gx1 = x[1] * inv_dx + pad
-    gx2 = x[2] * inv_dx + pad
     base0 = jnp.floor(gx0 - 0.5)
     base1 = jnp.floor(gx1 - 0.5)
     base2 = jnp.floor(gx2 - 0.5)
@@ -263,8 +266,8 @@ def _p2g3d_chunk(
                 rows2.extend(wr * p_aff[3 * a + 2] for a in range(3))
             rows2.extend(wr * q_aff[3 * a + 2] for a in range(3))
 
-    o1 = jnp.dot(jnp.stack(rows1), w_mat, preferred_element_type=jnp.float32)
-    o2 = jnp.dot(jnp.stack(rows2), w_mat2, preferred_element_type=jnp.float32)
+    o1 = _dot(jnp.stack(rows1), w_mat)
+    o2 = _dot(jnp.stack(rows2), w_mat2)
 
     zpad = jnp.zeros((nch - 6, o1.shape[1]), jnp.float32)
     z3 = jnp.zeros((3, o1.shape[1]), jnp.float32)
@@ -292,7 +295,7 @@ def _p2g3d_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "g1", "g2", "dx", "inv_dx", "pad", "apic", "ext",
+        "g1", "g2", "dx", "apic", "ext",
         "stress", "kb", "mu", "gamma", "fa",
     ),
 )
@@ -302,8 +305,6 @@ def p2g3d(
     g1: int,
     g2: int,
     dx: float,
-    inv_dx: float,
-    pad: float,
     apic: bool = True,
     ext: bool = False,
     stress=None,
@@ -335,40 +336,52 @@ def p2g3d(
         n_tz *= 2
     assert g2 % n_tz == 0, (g2, n_tz)
     g2t = g2 // n_tz
-    in_specs = [
-        pl.BlockSpec((1, b1, k), lambda i, tz, gq, c: (i, gq, 0), memory_space=pltpu.VMEM)
+    # counts rides as a PLAIN SMEM operand, NOT scalar prefetch: two
+    # PrefetchScalarGridSpec kernels in one XLA program clobbered each
+    # other's prefetched scalars on the TPU toolchain (bit-stable missing
+    # chunk-skips => whole pencil rows of mass lost; see docs/PERF.md).
+    # No index map reads the scalars, so prefetch is unnecessary anyway.
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+        pl.BlockSpec(
+            (1, b1, k),
+            lambda i, tz, gq: (i, gq, 0),
+            memory_space=pltpu.VMEM,
+        )
         for _ in range(n_in)
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(r0, n_tz, r1 // b1),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, NT, g1, nch, g2t),
-            lambda i, tz, gq, c: (i, 0, 0, 0, tz),
-            memory_space=pltpu.VMEM,
-        ),
-    )
     return pl.pallas_call(
         functools.partial(
             _p2g3d_kernel,
             r1=r1, b1=b1, g1=g1, g2t=g2t,
-            dx=dx, inv_dx=inv_dx, pad=pad, kc=kc, apic=apic, ext=ext,
+            dx=dx, kc=kc, apic=apic, ext=ext,
             stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa,
         ),
-        grid_spec=grid_spec,
+        grid=(r0, n_tz, r1 // b1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, NT, g1, nch, g2t),
+            lambda i, tz, gq: (i, 0, 0, 0, tz),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((r0, NT, g1, nch, g2), jnp.float32),
         interpret=_interpret(),
     )(counts, *fields)
 
 
 def fold_rows0(expanded: jax.Array) -> jax.Array:
-    """(R0, 5, G1, ch, G2) -> (G0, G1, ch, G2): one fused shifted-slice sum
-    (grid row g = sum_t expanded[g + 1 - t, t]); the padded RMW loop the 2D
-    fold uses costs ~4x bandwidth in XLA at 256^3."""
+    """(R0, 5, G1, ch, G2) -> (G0, G1, ch, G2): 5 shifted accumulating
+    updates (grid row g = sum_t expanded[g + 1 - t, t]).
+
+    Deliberately the .at[].add formulation: an equivalent pad +
+    shifted-slice + sum lowered INCORRECTLY on the TPU toolchain when
+    fused into the substep program (nodes silently lost most of their
+    summands — the kernel's expanded output was bit-exact while this
+    fold's result had ~0.35x the mass; see docs/PERF.md postmortem)."""
     r, nt, g1, ch, g2 = expanded.shape
-    e = jnp.pad(expanded, ((nt - 2, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-    return sum(e[nt - 1 - t : nt - 1 - t + r, t] for t in range(nt))
+    buf = jnp.zeros((r + nt - 1, g1, ch, g2), expanded.dtype)
+    for t in range(nt):
+        buf = buf.at[t : t + r].add(expanded[:, t])
+    return buf[1 : r + 1]
 
 
 def fold_rows0_halo(expanded: jax.Array) -> jax.Array:
@@ -378,8 +391,10 @@ def fold_rows0_halo(expanded: jax.Array) -> jax.Array:
     lo).  The 3D slab-sharded fast path halo-exchanges the edge rows
     (parallel/fast_domain3d.py)."""
     r, nt, g1, ch, g2 = expanded.shape
-    e = jnp.pad(expanded, ((nt - 1, nt - 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-    return sum(e[nt - 1 - t : nt - 1 - t + r + nt - 1, t] for t in range(nt))
+    buf = jnp.zeros((r + nt - 1, g1, ch, g2), expanded.dtype)
+    for t in range(nt):
+        buf = buf.at[t : t + r].add(expanded[:, t])
+    return buf
 
 
 # ---------------------------------------------------------------------------
@@ -395,17 +410,15 @@ def _g2p3d_kernel(
     g2: int,
     dx: float,
     dinv: float,
-    inv_dx: float,
-    pad: float,
     kc: int,
     ext: bool,
     update: bool,
     alpha: float,
     dtv: float,
 ):
-    # refs: x0, x1, x2, mask, [v0, v1, v2, J if update],
+    # refs: gx0, gx1, gx2, mask, [v0, v1, v2, J, x0, x1, x2 if update],
     #       NT * (b1 + NT - 1) grid rows, out
-    np_refs = 8 if update else 4
+    np_refs = 11 if update else 4
     grid_refs = refs[np_refs:-1]
     out_ref = refs[-1]
     i0 = pl.program_id(0)
@@ -436,19 +449,21 @@ def _g2p3d_kernel(
             def _(b=b, q=q, i1=i1, rows=rows):
                 _g2p3d_chunk(
                     refs, rows, out_ref, i0, i1, b, q,
-                    g2=g2, dx=dx, dinv=dinv, inv_dx=inv_dx, pad=pad, kc=kc,
+                    g2=g2, dx=dx, dinv=dinv, kc=kc,
                     ext=ext, update=update, alpha=alpha, dtv=dtv,
                 )
 
 
 def _g2p3d_chunk(
     refs, grid_rows, out_ref, i0, i1, b, q,
-    *, g2, dx, dinv, inv_dx, pad, kc, ext, update, alpha, dtv,
+    *, g2, dx, dinv, kc, ext, update, alpha, dtv,
 ):
     sl = slice(q * kc, (q + 1) * kc)
-    gx0 = refs[0][0, b, sl] * inv_dx + pad
-    gx1 = refs[1][0, b, sl] * inv_dx + pad
-    gx2 = refs[2][0, b, sl] * inv_dx + pad
+    # Precomputed grid coordinates — see _p2g3d_chunk's note on the
+    # in-kernel FMA tap-set hazard.
+    gx0 = refs[0][0, b, sl]
+    gx1 = refs[1][0, b, sl]
+    gx2 = refs[2][0, b, sl]
     mask = refs[3][0, b, sl]
     base0 = jnp.floor(gx0 - 0.5)
     base1 = jnp.floor(gx1 - 0.5)
@@ -476,8 +491,8 @@ def _g2p3d_chunk(
         gt = grid_rows[pr][0, 0]  # (gch, G2)
         gs1.append(gt)
         gs2.append(gt[0:3])       # z-column term needed for v_new only (C)
-    s1 = jnp.dot(jnp.concatenate(gs1, axis=0), w_t, preferred_element_type=jnp.float32)
-    s2 = jnp.dot(jnp.concatenate(gs2, axis=0), w_t2, preferred_element_type=jnp.float32)
+    s1 = _dot(jnp.concatenate(gs1, axis=0), w_t)
+    s2 = _dot(jnp.concatenate(gs2, axis=0), w_t2)
 
     wr0 = [_row_weights(rel0, w0, valid, t) for t in range(NT)]
     wr1 = [_row_weights(rel1, w1, jnp.ones_like(valid), t) for t in range(NT)]
@@ -510,7 +525,7 @@ def _g2p3d_chunk(
         # J update happen in-chunk so no slot-sized XLA pass runs outside.
         vprev = [refs[4 + a][0, b, sl] for a in range(3)]
         jprev = refs[7][0, b, sl]
-        x_new = [refs[a][0, b, sl] + dtv * vpic[a] * mask for a in range(3)]
+        x_new = [refs[8 + a][0, b, sl] + dtv * vpic[a] * mask for a in range(3)]
         v_new = [
             (alpha * (vprev[a] + vpic[a] - vold[a]) + (1.0 - alpha) * vpic[a])
             * mask
@@ -527,21 +542,17 @@ def _g2p3d_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "dx", "dinv", "inv_dx", "pad", "ext", "alpha", "dtv", "prepadded0"
-    ),
+    static_argnames=("dx", "dinv", "ext", "alpha", "dtv", "prepadded0"),
 )
 def g2p3d(
-    x0: jax.Array,
-    x1: jax.Array,
-    x2: jax.Array,
+    gx0: jax.Array,
+    gx1: jax.Array,
+    gx2: jax.Array,
     mask: jax.Array,
     counts: jax.Array,
     grid: jax.Array,
     dx: float,
     dinv: float,
-    inv_dx: float,
-    pad: float,
     ext: bool = False,
     state=None,
     alpha: float = 0.0,
@@ -550,10 +561,12 @@ def g2p3d(
 ) -> jax.Array:
     """x/mask (R0, R1, K), grid (R0, R1, gch, G2) -> (R0, R1, nout, K).
 
-    With `state` = (v0, v1, v2, J) the kernel also runs the particle
-    update in-chunk (FLIP blend alpha, advection by dtv, J update) and
-    returns [x (3), v (3), C (9), J] instead of the raw gathers."""
-    r0, r1, k = x0.shape
+    With `state` = (v0, v1, v2, J, x0, x1, x2) the kernel also runs the
+    particle update in-chunk (FLIP blend alpha, advection by dtv on the
+    RAW positions, J update) and returns [x (3), v (3), C (9), J] instead
+    of the raw gathers.  gx are the PRECOMPUTED grid coordinates — see
+    _p2g3d_chunk's note on the in-kernel FMA tap-set hazard."""
+    r0, r1, k = gx0.shape
     update = state is not None
     gch = G2P_CH_EXT if ext else G2P_CH
     assert grid.shape[2] == gch, grid.shape
@@ -581,7 +594,7 @@ def g2p3d(
         for t0 in range(NT)
         for u in range(n_u)
     ]
-    n_part = 8 if update else 4
+    n_part = 11 if update else 4
     part_specs = [
         pl.BlockSpec((1, b1, k), lambda i, gq, c: (i, gq, 0), memory_space=pltpu.VMEM)
         for _ in range(n_part)
@@ -598,10 +611,13 @@ def g2p3d(
         functools.partial(
             _g2p3d_kernel,
             r1=r1, b1=b1, g2=g2,
-            dx=dx, dinv=dinv, inv_dx=inv_dx, pad=pad, kc=kc, ext=ext,
+            dx=dx, dinv=dinv, kc=kc, ext=ext,
             update=update, alpha=alpha, dtv=dtv,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r0, r1, nout, k), jnp.float32),
         interpret=_interpret(),
-    )(counts, x0, x1, x2, mask, *(state if update else ()), *([padded] * (NT * n_u)))
+    )(
+        counts, gx0, gx1, gx2, mask, *(state if update else ()),
+        *([padded] * (NT * n_u)),
+    )
