@@ -161,8 +161,11 @@ class Simulation:
         """Render + export the current frame (exec.py:29 equivalent)."""
         with self.timers.scope("post_process"):
             x = self.positions()
+            # Project keeping the gravity axis (the LAST axis) vertical:
+            # (x0, x1) in 2D, (x0, x2) side view in 3D — a (x0, x1) top
+            # view of a 3D scene hides the fall entirely.
             img = render.rasterize(
-                x[:, :2],
+                x[:, [0, x.shape[1] - 1]],
                 res=self.render_res,
                 extent=self.cfg.domain_length,
                 colors=self.material_colors(),
