@@ -7,13 +7,20 @@ used for the reference workload estimate (BASELINE.md, derived row).
 Target: >= 1e9 ops/sec/chip on TPU v5e-1 (vs_baseline = value / 1e9).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N, "detail": ...}
+
+The default full run (on TPU) measures EVERY headline metric in one
+invocation — the 2D line (the headline value), the 3D full-BASELINE-scale
+line, and the multichip halo-comm split (CPU-mesh subprocess) — and embeds
+the secondary metrics under detail.d3 / detail.multichip so the driver's
+captured artifact evidences all of them (VERDICT r2 item 2).
 
 Env knobs:
-  BENCH_SMALL=1      tiny CPU-friendly smoke configuration
-  BENCH_3D=1         3D pencil-bucket path (8M particles, 256^3 - the full
-                     BASELINE scale; BENCH_3D_SMALL=1 for 1M/128^3;
-                     secondary metric — the headline metric is 2D)
+  BENCH_SMALL=1      tiny CPU-friendly smoke configuration (2D only)
+  BENCH_3D=1         run ONLY the 3D leg (8M particles, 256^3 — the full
+                     BASELINE scale; BENCH_3D_SMALL=1 for 1M/128^3)
+  BENCH_MULTICHIP=1  run ONLY the multichip CPU-mesh leg
+  BENCH_2D_ONLY=1    skip the 3D + multichip legs
   BENCH_SUBSTEPS=n   override timed substeps (default 200)
 """
 
@@ -84,23 +91,19 @@ def main3d(n_sub: int):
     elapsed = time.perf_counter() - t0
     assert int(np.asarray(b.overflow)) == 0
     value = p.n * 27 * 2 * n_sub / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "particle_grid_transfer_ops_per_sec_per_chip_3d",
-                "value": value,
-                "unit": "ops/s",
-                "vs_baseline": value / 1e9,
-                "detail": {
-                    "particles": p.n,
-                    "grid": scene.cfg.num_grids,
-                    "substeps": n_sub,
-                    "elapsed_s": round(elapsed, 4),
-                    "backend": jax.devices()[0].platform,
-                },
-            }
-        )
-    )
+    return {
+        "metric": "particle_grid_transfer_ops_per_sec_per_chip_3d",
+        "value": value,
+        "unit": "ops/s",
+        "vs_baseline": value / 1e9,
+        "detail": {
+            "particles": p.n,
+            "grid": scene.cfg.num_grids,
+            "substeps": n_sub,
+            "elapsed_s": round(elapsed, 4),
+            "backend": jax.devices()[0].platform,
+        },
+    }
 
 
 def main_multichip(n_sub: int):
@@ -139,37 +142,59 @@ def main_multichip(n_sub: int):
     halo_rows = 2 * (fast_domain.H_LO + fast_domain.H_HI)  # reduce + gather
     halo_bytes = halo_rows * nch * g * 4
     allreduce_bytes = 2 * nch * g * g * 4  # ring all-reduce equivalent
-    print(
-        json.dumps(
-            {
-                "metric": "multichip_halo_comm_bytes_per_substep",
-                "value": halo_bytes,
-                "unit": "bytes/substep/chip",
-                "vs_baseline": halo_bytes / allreduce_bytes,
-                "detail": {
-                    "mode": "slab-sharded fast path, 8-device CPU mesh",
-                    "particles": p.n,
-                    "grid": g,
-                    "substeps_executed": n_sub,
-                    "n_shards": n_dev,
-                    "overflow": 0,
-                    "grid_allreduce_bytes_equivalent": allreduce_bytes,
-                    "halo_fraction_of_allreduce": round(
-                        halo_bytes / allreduce_bytes, 5
-                    ),
-                },
-            }
+    return {
+        "metric": "multichip_halo_comm_bytes_per_substep",
+        "value": halo_bytes,
+        "unit": "bytes/substep/chip",
+        "vs_baseline": halo_bytes / allreduce_bytes,
+        "detail": {
+            "mode": "slab-sharded fast path, 8-device CPU mesh",
+            "particles": p.n,
+            "grid": g,
+            "substeps_executed": n_sub,
+            "n_shards": n_dev,
+            "overflow": 0,
+            "grid_allreduce_bytes_equivalent": allreduce_bytes,
+            "halo_fraction_of_allreduce": round(
+                halo_bytes / allreduce_bytes, 5
+            ),
+        },
+    }
+
+
+def _multichip_subprocess(n_sub: int):
+    """Run the multichip CPU-mesh leg in a subprocess (it needs the CPU
+    platform with 8 virtual devices, which cannot coexist with the live
+    TPU backend in this process) and return its parsed JSON line."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["BENCH_MULTICHIP"] = "1"
+    env["BENCH_SUBSTEPS"] = str(n_sub)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1200,
         )
-    )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": (out.stderr or "no JSON line")[-500:]}
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"error": repr(e)}
 
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     n_sub = int(os.environ.get("BENCH_SUBSTEPS", "16" if small else "200"))
     if os.environ.get("BENCH_MULTICHIP") == "1":
-        return main_multichip(min(n_sub, 100))
+        print(json.dumps(main_multichip(min(n_sub, 100))))
+        return
     if os.environ.get("BENCH_3D") == "1":
-        return main3d(min(n_sub, 50))
+        print(json.dumps(main3d(min(n_sub, 50))))
+        return
 
     import jax
     import jax.numpy as jnp
@@ -216,6 +241,12 @@ def main():
             "backend": jax.devices()[0].platform,
         },
     }
+    if not small and os.environ.get("BENCH_2D_ONLY") != "1":
+        # Secondary headline metrics, same invocation (VERDICT r2 item 2):
+        # 3D at full BASELINE scale on this chip, then the multichip
+        # comm-split sanity leg on a CPU-mesh subprocess.
+        result["detail"]["d3"] = main3d(min(n_sub, 50))
+        result["detail"]["multichip"] = _multichip_subprocess(min(n_sub, 100))
     print(json.dumps(result))
 
 

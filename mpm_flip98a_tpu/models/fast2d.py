@@ -185,179 +185,20 @@ def to_host(b: FluidBuckets) -> dict:
     return out
 
 
-def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> FluidBuckets:
-    """One fast substep; numerics mirror models/stabilized.py substep_grid
-    restricted to the fluid feature set.
-
-    `domain` (parallel/fast_domain.FastDomainCtx) runs the same physics on
-    a slab shard: bucket rows are a LOCAL window of the global grid, the
-    folded P2G edge rows ride a halo exchange instead of being cropped,
-    and the wall masks use global row indices."""
+def _grid_update2d(
+    gridsum, scene: Scene, ext: bool, grid_shape, row_index0
+):
+    """Grid momentum update on the channel-leading (nch, R, G) fold output;
+    returns grid4 (R, gch, G) rows-leading for g2p."""
     cfg = scene.cfg
-    assert cfg.dim == 2
-    g = cfg.num_grids
     dt = jnp.float32(cfg.dt)
-    dx = float(cfg.dx)
-    inv_dx = jnp.float32(cfg.inv_dx)
-    dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
-    tent = cfg.kernel == KernelKind.TENT
-    r, k = b.shape
+    from mpm_flip98a_tpu.models.stabilized import _mass_floor
 
-    gx0 = b.x0 * inv_dx + jnp.float32(PAD)
-    gx1 = b.x1 * inv_dx + jnp.float32(PAD)
-    if domain is not None:
-        # Kernel row coordinates are local to the slab: bucket row i holds
-        # particles with global base row ~ lo + i.
-        lo = jax.lax.axis_index(domain.axis) * r
-        gx0 = gx0 - lo.astype(jnp.float32)
-        row_index0 = lo - 1 + jnp.arange(r + 4)
-        grid_shape = (r + 4, g)
-    else:
-        row_index0 = None
-        grid_shape = None
-
-    # ---- stress: component-form material dispatch ----------------------
-    # Same models as models/materials.py, written on (R, K) component
-    # arrays (building (R, K, 2, 2) temporaries would tile terribly).
-    #
-    # Fused stabilization (F-bar / pressure mixing): the nodal averages
-    # jbar_s / p_s / div_s were gathered by LAST substep's G2P (extra grid
-    # channels) — a one-substep lag relative to the general path's
-    # separate projection pass, consistent explicit integration.
-    ratio = float(cfg.pressure_mixing_ratio)
-    ext = bool(cfg.use_fbar or ratio > 0.0)
-    # Semi-implicit lag correction: the nodal averages are one substep
-    # stale, and that pure delay destabilises the acoustic feedback when
-    # BOTH stabilizers are active (measured: stable CFL halves).  Advance
-    # each average by its known local rate over the lag interval —
-    # dJ/dt = J div(v), with div(v) = tr C from the latest gather — which
-    # removes the O(dt) phase error and restores the full stability
-    # region (scripts/exp_fused_dt.py).  At t = 0 div = 0, so the
-    # first-substep exactness vs the general path is preserved.
-    div_lag = b.C00 + b.C11
-    jbar_adv = b.jbar_s * (1.0 + dt * div_lag) if ext else b.jbar_s
-    jeff = jbar_adv if cfg.use_fbar else b.J
-    vj = b.vol0 * jeff
-    p_point_out = jnp.zeros_like(b.J)
-    tau00 = jnp.zeros_like(b.J)
-    tau01 = jnp.zeros_like(b.J)
-    tau10 = jnp.zeros_like(b.J)
-    tau11 = jnp.zeros_like(b.J)
-    for mid in scene.materials_present:
-        if mid == mat.WEAKLY_COMPRESSIBLE_FLUID:
-            kb = jnp.float32(scene.params.bulk_modulus)
-            mu = jnp.float32(scene.params.dynamic_viscosity)
-            if scene.params.eos == EOSKind.LINEAR:
-                p_point = -kb * (jeff - 1.0)
-            else:
-                gamma = jnp.float32(scene.params.tait_gamma)
-                # Guard the power against degenerate J (belt to the dead-slot
-                # neutral-fill suspenders in _safe_dead_slots).
-                j_safe = jnp.maximum(jeff, jnp.float32(1e-3))
-                p_point = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
-            p_point_out = p_point
-            if ratio > 0.0:
-                # Lag correction for the projected pressure: dp/dt =
-                # dp/dJ * J * div with dp/dJ from the EOS at jeff.
-                if scene.params.eos == EOSKind.LINEAR:
-                    dp_dt = -kb * jeff * div_lag
-                else:
-                    dp_dt = -kb * (1.0 / j_safe) ** gamma * div_lag
-                pressure = ratio * (b.p_s + dt * dp_dt) + (1.0 - ratio) * p_point
-            else:
-                pressure = p_point
-            div = b.C00 + b.C11
-            t00 = vj * (-pressure + 2.0 * mu * (b.C00 - 0.5 * div))
-            t11 = vj * (-pressure + 2.0 * mu * (b.C11 - 0.5 * div))
-            t01 = vj * (2.0 * mu * 0.5 * (b.C01 + b.C10))
-            t10 = t01
-        elif mid == mat.NEO_HOOKEAN:
-            # tau = V0 (mu_s (F F^T - I) + lam_s log(Jf) I)
-            mu_s = jnp.float32(scene.params.mu)
-            lam_s = jnp.float32(scene.params.lam)
-            jf = jnp.maximum(
-                b.F00 * b.F11 - b.F01 * b.F10, jnp.float32(1e-6)
-            )
-            lj = lam_s * jnp.log(jf)
-            t00 = b.vol0 * (mu_s * (b.F00**2 + b.F01**2 - 1.0) + lj)
-            t11 = b.vol0 * (mu_s * (b.F10**2 + b.F11**2 - 1.0) + lj)
-            t01 = b.vol0 * mu_s * (b.F00 * b.F10 + b.F01 * b.F11)
-            t10 = t01
-        else:  # FIXED_COROTATED: V0 (2 mu (F - R) F^T + lam (Jf - 1) Jf I)
-            mu_s = jnp.float32(scene.params.mu)
-            lam_s = jnp.float32(scene.params.lam)
-            jf = b.F00 * b.F11 - b.F01 * b.F10
-            px = b.F00 + b.F11
-            py = b.F10 - b.F01
-            # max() guards the polar normalisation against degenerate F
-            # (F = 0 only happens in unfixed dead slots, but a collapsed
-            # active F would hit the same 1/0).
-            sc = 1.0 / jnp.sqrt(jnp.maximum(px * px + py * py, jnp.float32(1e-12)))
-            rc, rs = px * sc, py * sc
-            d00, d01 = b.F00 - rc, b.F01 + rs
-            d10, d11 = b.F10 - rs, b.F11 - rc
-            lj = lam_s * (jf - 1.0) * jf
-            t00 = b.vol0 * (2 * mu_s * (d00 * b.F00 + d01 * b.F01) + lj)
-            t01 = b.vol0 * (2 * mu_s * (d00 * b.F10 + d01 * b.F11))
-            t10 = b.vol0 * (2 * mu_s * (d10 * b.F00 + d11 * b.F01))
-            t11 = b.vol0 * (2 * mu_s * (d10 * b.F10 + d11 * b.F11) + lj)
-        if len(scene.materials_present) == 1:
-            tau00, tau01, tau10, tau11 = t00, t01, t10, t11
-        else:
-            sel = b.mat == mid
-            tau00 = jnp.where(sel, t00, tau00)
-            tau01 = jnp.where(sel, t01, tau01)
-            tau10 = jnp.where(sel, t10, tau10)
-            tau11 = jnp.where(sel, t11, tau11)
-
-    fa = -dt * jnp.float32(dinv)
-    if cfg.transfer == TransferKind.APIC:
-        p00, p01, p10, p11 = b.mass * b.C00, b.mass * b.C01, b.mass * b.C10, b.mass * b.C11
-    else:
-        z = jnp.zeros_like(b.C00)
-        p00 = p01 = p10 = p11 = z
-    q00, q01 = p00 + fa * tau00, p01 + fa * tau01
-    q10, q11 = p10 + fa * tau10, p11 + fa * tau11
-
-    m = b.mass * b.mask
-    rows_ = [
-        gx0, gx1,
-        m * b.v0, m * b.v1,
-        p00 * b.mask, p01 * b.mask, p10 * b.mask, p11 * b.mask,
-        q00 * b.mask, q01 * b.mask, q10 * b.mask, q11 * b.mask,
-        m,
-    ]
-    if ext:
-        v0m = b.vol0 * b.mask
-        div_point = b.C00 + b.C11
-        rows_ += [v0m * b.J, v0m, v0m * p_point_out, v0m * div_point]
-    else:
-        rows_ += [vj * b.mask]
-    pdata = jnp.stack(rows_, axis=1)  # (R, 14 or 17, K)
-
-    # Packed-bucket row counts drive chunk skipping in the kernels.
-    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
-
-    # ---- P2G ----------------------------------------------------------
-    apic = cfg.transfer == TransferKind.APIC
-    if domain is not None:
-        # Slab shard: keep the fold's edge rows and trade them with the
-        # neighbor shards (reduce partial sums in, gather completed rows
-        # back); afterwards all r + 4 local rows hold global sums and the
-        # grid update below is purely local.
-        gridsum = domain.halo_sync(
-            tk.fold_rows_halo(tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic))
-        )
-    else:
-        gridsum = tk.fold_rows(tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic))
-    if grid_reduce is not None:
-        # Multi-chip particle DP: merge per-chip partial grids over ICI
-        # (parallel/fast_replicated.py passes a psum here).
-        gridsum = grid_reduce(gridsum)
     g_m = gridsum[4]
-    # Relative mass floor — see fast3d._grid_update: knife-edge taps leave
-    # ~1e-15-mass nodes whose velocity update is fp noise.
-    has = g_m > 1e-8 * jnp.max(g_m)
+    # Mass floor — see fast3d._grid_update: knife-edge taps leave
+    # ~1e-15-mass nodes whose velocity update is fp noise.  Absolute
+    # (scene.mass_floor) when available: shard-invariant under shard_map.
+    has = g_m > _mass_floor(scene, g_m)
     safe = jnp.where(has, g_m, 1.0)
     v0g = jnp.where(has, gridsum[0:2] / safe, 0.0)      # pre-force
     grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
@@ -392,7 +233,263 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
         div_g = jnp.where(has_v, gridsum[8] / safe_v, 0.0)
         gparts.append(jnp.stack([jbar_g, p_g, div_g], axis=0))
     grid4 = jnp.concatenate(gparts, axis=0)  # (4 or 7, G, G)
-    grid4 = jnp.moveaxis(grid4, 0, 1)  # (G, gch, G): rows leading for g2p
+    return jnp.moveaxis(grid4, 0, 1)  # (G, gch, G): rows leading for g2p
+
+
+def _finish_fused(
+    b: FluidBuckets, scene: Scene, expanded, counts, gx0, gx1,
+    domain, grid_reduce, row_index0, grid_shape,
+) -> FluidBuckets:
+    """Fused tail of the single-fluid substep: fold + grid update + the
+    update-mode G2P (FLIP blend / advect / J update in-kernel)."""
+    cfg = scene.cfg
+    g = cfg.num_grids
+    dx = float(cfg.dx)
+    dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    if domain is not None:
+        gridsum = domain.halo_sync(tk.fold_rows_halo(expanded))
+    else:
+        gridsum = tk.fold_rows(expanded)
+    if grid_reduce is not None:
+        gridsum = grid_reduce(gridsum)
+    grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0)
+    pdata2 = jnp.stack(
+        [gx0, gx1, b.mask, b.v0, b.v1, b.J, b.x0, b.x1], axis=1
+    )  # (R, 8, K): transfer coords + fused-update state rows
+    out9 = tk.g2p(
+        pdata2, counts, grid4, dx, dinv, tent=False,
+        prepadded=domain is not None,
+        update=True, alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
+    )
+    return dataclasses.replace(
+        b,
+        x0=out9[:, 0], x1=out9[:, 1],
+        v0=out9[:, 2], v1=out9[:, 3],
+        C00=out9[:, 4], C01=out9[:, 5], C10=out9[:, 6], C11=out9[:, 7],
+        J=out9[:, 8],
+    )
+
+
+def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> FluidBuckets:
+    """One fast substep; numerics mirror models/stabilized.py substep_grid
+    restricted to the fluid feature set.
+
+    `domain` (parallel/fast_domain.FastDomainCtx) runs the same physics on
+    a slab shard: bucket rows are a LOCAL window of the global grid, the
+    folded P2G edge rows ride a halo exchange instead of being cropped,
+    and the wall masks use global row indices."""
+    cfg = scene.cfg
+    assert cfg.dim == 2
+    if cfg.surface_tension > 0.0:
+        raise NotImplementedError(
+            "CSF surface tension is implemented in the general path only "
+            "(models/stabilized.py); run surface_tension > 0 scenes with "
+            "path='general'"
+        )
+    g = cfg.num_grids
+    dt = jnp.float32(cfg.dt)
+    dx = float(cfg.dx)
+    inv_dx = jnp.float32(cfg.inv_dx)
+    dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    tent = cfg.kernel == KernelKind.TENT
+    r, k = b.shape
+
+    gx0 = b.x0 * inv_dx + jnp.float32(PAD)
+    gx1 = b.x1 * inv_dx + jnp.float32(PAD)
+    if domain is not None:
+        # Kernel row coordinates are local to the slab: bucket row i holds
+        # particles with global base row ~ lo + i.
+        lo = jax.lax.axis_index(domain.axis) * r
+        gx0 = gx0 - lo.astype(jnp.float32)
+        row_index0 = lo - 1 + jnp.arange(r + 4)
+        grid_shape = (r + 4, g)
+    else:
+        row_index0 = None
+        grid_shape = None
+
+    # Packed-bucket row counts drive chunk skipping in the kernels.
+    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
+    apic = cfg.transfer == TransferKind.APIC
+    ratio = float(cfg.pressure_mixing_ratio)
+    ext = bool(cfg.use_fbar or ratio > 0.0)
+    # Single-fluid non-stabilized configs (the BASELINE headline workload)
+    # run FULLY fused like the 3D path: fluid stress inside P2G, particle
+    # update inside G2P — no slot-sized XLA prep/tail pass pays the
+    # capacity/occupancy padding.  (Tent needs the XLA-side D^-1
+    # reconstruction, so it keeps the generic path.)
+    # Measured A/B on v5e-1 at 1M/513² (docs/PERF.md round-3 notes):
+    # fused P2G + generic G2P = 2.11e9 (best), unfused = 2.07e9, BOTH
+    # fused = 1.90e9 — the 2D kernels are VPU-bound, so the in-kernel
+    # particle update lands on the critical path while the XLA tail it
+    # replaces was cheap.  Defaults pick the winner; env knobs remain
+    # for re-measurement at other scales.
+    import os as _os
+    fused = (
+        scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,)
+        and not ext
+        and not tent
+        and _os.environ.get("MPM_FUSE2D", "1") != "0"
+    )
+    fuse_g2p = _os.environ.get("MPM_FUSE2D_G2P", "0") == "1"
+    if fused:
+        fields = (
+            gx0, gx1, b.v0, b.v1, b.C00, b.C01, b.C10, b.C11,
+            b.J, b.mass, b.vol0,
+        )
+        eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
+        expanded = tk.p2g_fused(
+            jnp.stack(fields, axis=1), counts, g, dx, tent=False, apic=apic,
+            eos=eos_name,
+            kb=float(scene.params.bulk_modulus),
+            mu=float(scene.params.dynamic_viscosity),
+            gamma=float(scene.params.tait_gamma),
+            fa=float(-cfg.dt * dinv),
+        )
+        if fuse_g2p:
+            return _finish_fused(
+                b, scene, expanded, counts, gx0, gx1,
+                domain, grid_reduce, row_index0, grid_shape,
+            )
+        pass  # fused P2G + generic G2P tail (A/B probe)
+
+    if fused:
+        pdata = None  # fused P2G already produced `expanded`
+    else:
+        # ---- stress: component-form material dispatch ----------------------
+        # Same models as models/materials.py, written on (R, K) component
+        # arrays (building (R, K, 2, 2) temporaries would tile terribly).
+        #
+        # Fused stabilization (F-bar / pressure mixing): the nodal averages
+        # jbar_s / p_s / div_s were gathered by LAST substep's G2P (extra grid
+        # channels) — a one-substep lag relative to the general path's
+        # separate projection pass, consistent explicit integration.
+        # Semi-implicit lag correction: the nodal averages are one substep
+        # stale, and that pure delay destabilises the acoustic feedback when
+        # BOTH stabilizers are active (measured: stable CFL halves).  Advance
+        # each average by its known local rate over the lag interval —
+        # dJ/dt = J div(v), with div(v) = tr C from the latest gather — which
+        # removes the O(dt) phase error and restores the full stability
+        # region (scripts/exp_fused_dt.py).  At t = 0 div = 0, so the
+        # first-substep exactness vs the general path is preserved.
+        div_lag = b.C00 + b.C11
+        jbar_adv = b.jbar_s * (1.0 + dt * div_lag) if ext else b.jbar_s
+        jeff = jbar_adv if cfg.use_fbar else b.J
+        vj = b.vol0 * jeff
+        p_point_out = jnp.zeros_like(b.J)
+        tau00 = jnp.zeros_like(b.J)
+        tau01 = jnp.zeros_like(b.J)
+        tau10 = jnp.zeros_like(b.J)
+        tau11 = jnp.zeros_like(b.J)
+        for mid in scene.materials_present:
+            if mid == mat.WEAKLY_COMPRESSIBLE_FLUID:
+                kb = jnp.float32(scene.params.bulk_modulus)
+                mu = jnp.float32(scene.params.dynamic_viscosity)
+                if scene.params.eos == EOSKind.LINEAR:
+                    p_point = -kb * (jeff - 1.0)
+                else:
+                    gamma = jnp.float32(scene.params.tait_gamma)
+                    # Guard the power against degenerate J (belt to the dead-slot
+                    # neutral-fill suspenders in _safe_dead_slots).
+                    j_safe = jnp.maximum(jeff, jnp.float32(1e-3))
+                    p_point = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
+                p_point_out = p_point
+                if ratio > 0.0:
+                    # Lag correction for the projected pressure: dp/dt =
+                    # dp/dJ * J * div with dp/dJ from the EOS at jeff.
+                    if scene.params.eos == EOSKind.LINEAR:
+                        dp_dt = -kb * jeff * div_lag
+                    else:
+                        dp_dt = -kb * (1.0 / j_safe) ** gamma * div_lag
+                    pressure = ratio * (b.p_s + dt * dp_dt) + (1.0 - ratio) * p_point
+                else:
+                    pressure = p_point
+                div = b.C00 + b.C11
+                t00 = vj * (-pressure + 2.0 * mu * (b.C00 - 0.5 * div))
+                t11 = vj * (-pressure + 2.0 * mu * (b.C11 - 0.5 * div))
+                t01 = vj * (2.0 * mu * 0.5 * (b.C01 + b.C10))
+                t10 = t01
+            elif mid == mat.NEO_HOOKEAN:
+                # tau = V0 (mu_s (F F^T - I) + lam_s log(Jf) I)
+                mu_s = jnp.float32(scene.params.mu)
+                lam_s = jnp.float32(scene.params.lam)
+                jf = jnp.maximum(
+                    b.F00 * b.F11 - b.F01 * b.F10, jnp.float32(1e-6)
+                )
+                lj = lam_s * jnp.log(jf)
+                t00 = b.vol0 * (mu_s * (b.F00**2 + b.F01**2 - 1.0) + lj)
+                t11 = b.vol0 * (mu_s * (b.F10**2 + b.F11**2 - 1.0) + lj)
+                t01 = b.vol0 * mu_s * (b.F00 * b.F10 + b.F01 * b.F11)
+                t10 = t01
+            else:  # FIXED_COROTATED: V0 (2 mu (F - R) F^T + lam (Jf - 1) Jf I)
+                mu_s = jnp.float32(scene.params.mu)
+                lam_s = jnp.float32(scene.params.lam)
+                jf = b.F00 * b.F11 - b.F01 * b.F10
+                px = b.F00 + b.F11
+                py = b.F10 - b.F01
+                # max() guards the polar normalisation against degenerate F
+                # (F = 0 only happens in unfixed dead slots, but a collapsed
+                # active F would hit the same 1/0).
+                sc = 1.0 / jnp.sqrt(jnp.maximum(px * px + py * py, jnp.float32(1e-12)))
+                rc, rs = px * sc, py * sc
+                d00, d01 = b.F00 - rc, b.F01 + rs
+                d10, d11 = b.F10 - rs, b.F11 - rc
+                lj = lam_s * (jf - 1.0) * jf
+                t00 = b.vol0 * (2 * mu_s * (d00 * b.F00 + d01 * b.F01) + lj)
+                t01 = b.vol0 * (2 * mu_s * (d00 * b.F10 + d01 * b.F11))
+                t10 = b.vol0 * (2 * mu_s * (d10 * b.F00 + d11 * b.F01))
+                t11 = b.vol0 * (2 * mu_s * (d10 * b.F10 + d11 * b.F11) + lj)
+            if len(scene.materials_present) == 1:
+                tau00, tau01, tau10, tau11 = t00, t01, t10, t11
+            else:
+                sel = b.mat == mid
+                tau00 = jnp.where(sel, t00, tau00)
+                tau01 = jnp.where(sel, t01, tau01)
+                tau10 = jnp.where(sel, t10, tau10)
+                tau11 = jnp.where(sel, t11, tau11)
+
+        fa = -dt * jnp.float32(dinv)
+        if cfg.transfer == TransferKind.APIC:
+            p00, p01, p10, p11 = b.mass * b.C00, b.mass * b.C01, b.mass * b.C10, b.mass * b.C11
+        else:
+            z = jnp.zeros_like(b.C00)
+            p00 = p01 = p10 = p11 = z
+        q00, q01 = p00 + fa * tau00, p01 + fa * tau01
+        q10, q11 = p10 + fa * tau10, p11 + fa * tau11
+
+        m = b.mass * b.mask
+        rows_ = [
+            gx0, gx1,
+            m * b.v0, m * b.v1,
+            p00 * b.mask, p01 * b.mask, p10 * b.mask, p11 * b.mask,
+            q00 * b.mask, q01 * b.mask, q10 * b.mask, q11 * b.mask,
+            m,
+        ]
+        if ext:
+            v0m = b.vol0 * b.mask
+            div_point = b.C00 + b.C11
+            rows_ += [v0m * b.J, v0m, v0m * p_point_out, v0m * div_point]
+        else:
+            rows_ += [vj * b.mask]
+        pdata = jnp.stack(rows_, axis=1)  # (R, 14 or 17, K)
+
+    # ---- P2G ----------------------------------------------------------
+    if pdata is None:
+        expanded_p = expanded  # fused P2G already ran
+    else:
+        expanded_p = tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic)
+    if domain is not None:
+        # Slab shard: keep the fold's edge rows and trade them with the
+        # neighbor shards (reduce partial sums in, gather completed rows
+        # back); afterwards all r + 4 local rows hold global sums and the
+        # grid update below is purely local.
+        gridsum = domain.halo_sync(tk.fold_rows_halo(expanded_p))
+    else:
+        gridsum = tk.fold_rows(expanded_p)
+    if grid_reduce is not None:
+        # Multi-chip particle DP: merge per-chip partial grids over ICI
+        # (parallel/fast_replicated.py passes a psum here).
+        gridsum = grid_reduce(gridsum)
+    grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0)
 
     # ---- G2P ----------------------------------------------------------
     pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)   # (R, 3, K)
@@ -453,6 +550,15 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     f01 = (1 + dt * c00) * b.F01 + dt * c01 * b.F11
     f10 = dt * c10 * b.F00 + (1 + dt * c11) * b.F10
     f11 = dt * c10 * b.F01 + (1 + dt * c11) * b.F11
+    if scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present:
+        # Snow-plasticity singular-value clamp (mls-mpm88:164-170).  Dead
+        # slots are parked at F = I, which the clamp leaves unchanged.
+        fm = jnp.stack(
+            [jnp.stack([f00, f01], -1), jnp.stack([f10, f11], -1)], -2
+        )
+        fm = mat.plastic_clamp(scene.params, b.mat, fm, scene.materials_present)
+        f00, f01 = fm[..., 0, 0], fm[..., 0, 1]
+        f10, f11 = fm[..., 1, 0], fm[..., 1, 1]
     return FluidBuckets(
         x0=b.x0 + dt * vpic0 * b.mask,
         x1=b.x1 + dt * vpic1 * b.mask,

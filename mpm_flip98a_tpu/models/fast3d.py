@@ -283,8 +283,13 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax
     # into O(1) junk kicks (measured: exponential blowup of an
     # under-resolved 64^3 scene on TPU, where FMA tap rounding differs
     # from the CPU build).  A node carrying < 1e-8 of the heaviest node
-    # is dynamically meaningless — treat it as empty.
-    has = g_m > 1e-8 * jnp.max(g_m)
+    # is dynamically meaningless — treat it as empty.  Absolute floor
+    # (scene.mass_floor) when available: shard-invariant under shard_map
+    # (the relative fallback uses the shard-LOCAL max, so neighboring
+    # shards could disagree on `has` for shared halo rows).
+    from mpm_flip98a_tpu.models.stabilized import _mass_floor
+
+    has = g_m > _mass_floor(scene, g_m)
     safe = jnp.where(has, g_m, 1.0)
     hc = has[:, :, None]
     v0g = jnp.where(hc, gs[:, :, 0:3] / safe[:, :, None], 0.0)
@@ -365,10 +370,12 @@ def substep(
 ) -> FluidBuckets3D:
     cfg = scene.cfg
     assert cfg.dim == 3
-    if cfg.kernel != KernelKind.BSPLINE:
+    tent = cfg.kernel == KernelKind.TENT
+    if cfg.surface_tension > 0.0:
         raise NotImplementedError(
-            "fast3d implements the quadratic B-spline only; use the general "
-            "path (models/stabilized.py) for kernel=TENT in 3D"
+            "CSF surface tension is implemented in the general path only "
+            "(models/stabilized.py); run surface_tension > 0 scenes with "
+            "path='general'"
         )
     g = cfg.num_grids
     r0, r1 = spec.rows0, spec.rows1
@@ -414,8 +421,13 @@ def substep(
     # run FULLY fused: stress inside P2G, particle update inside G2P — no
     # slot-sized XLA pass pays the capacity/occupancy padding (~3.7x at
     # the 8M slab).
+    # (Tent runs the generic path: the fused update-mode G2P computes J
+    # from the in-kernel C, which for the hat kernel needs the matrix
+    # D^-1 reconstruction below.)
     fused = (
-        scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,) and not ext
+        scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,)
+        and not ext
+        and not tent
     )
     if fused:
         fields = (
@@ -546,7 +558,7 @@ def substep(
     )
 
     # ---- P2G + grid update ---------------------------------------------
-    expanded = tk3.p2g3d(fields, counts, g, g, dx, apic=apic, ext=ext)
+    expanded = tk3.p2g3d(fields, counts, g, g, dx, apic=apic, ext=ext, tent=tent)
     if domain is not None:
         gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
     else:
@@ -557,12 +569,55 @@ def substep(
     nout = tk3.G2P_OUT_EXT if ext else tk3.G2P_OUT
     out = tk3.g2p3d(
         *gxs, shaped(b.mask),
-        counts, grid_ch, dx, dinv, ext=ext,
-        prepadded0=domain is not None,
+        counts, grid_ch, dx, 1.0 if tent else dinv, ext=ext,
+        prepadded0=domain is not None, tent=tent,
     ).reshape(r0 * r1, nout, spec.capacity)
     vpic = [out[:, a] for a in range(3)]
     vold = [out[:, 3 + a] for a in range(3)]
     c_new = [out[:, 6 + i] for i in range(9)]
+    if tent:
+        # C = B D^-1: with dinv = 1 the kernel returned the raw B matrix;
+        # the hat kernel's APIC D is matrix-valued (same convention as
+        # fast2d / the general path's mm(b_mat, inv(d_mat))).  D is
+        # separable for a tensor-product kernel: D_aa = s2(gx_a),
+        # D_ab = s1(gx_a) s1(gx_b).
+        from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights_tent
+
+        dxf = jnp.float32(dx)
+
+        def axis_d(gx):
+            base = jnp.floor(gx - 0.5)
+            fx = gx - base
+            w = _axis_weights_tent(fx)
+            s1 = sum(w[i] * (i - fx) for i in range(3)) * dxf
+            s2 = sum(w[i] * (i - fx) ** 2 for i in range(3)) * dxf * dxf
+            return s1, s2
+
+        flat = lambda a: a.reshape(r0 * r1, k)
+        s0_1, d00 = axis_d(flat(gxs[0]))
+        s1_1, d11 = axis_d(flat(gxs[1]))
+        s2_1, d22 = axis_d(flat(gxs[2]))
+        eps = jnp.float32(1e-12)
+        d00, d11, d22 = d00 + eps, d11 + eps, d22 + eps
+        d01, d02, d12 = s0_1 * s1_1, s0_1 * s2_1, s1_1 * s2_1
+        co00 = d11 * d22 - d12 * d12
+        co01 = d02 * d12 - d01 * d22
+        co02 = d01 * d12 - d02 * d11
+        co11 = d00 * d22 - d02 * d02
+        co12 = d01 * d02 - d00 * d12
+        co22 = d00 * d11 - d01 * d01
+        det = d00 * co00 + d01 * co01 + d02 * co02
+        dinv_m = [
+            [co00 / det, co01 / det, co02 / det],
+            [co01 / det, co11 / det, co12 / det],
+            [co02 / det, co12 / det, co22 / det],
+        ]
+        bmat = c_new
+        c_new = [
+            sum(bmat[3 * a + e] * dinv_m[e][c] for e in range(3))
+            for a in range(3)
+            for c in range(3)
+        ]
 
     alpha = jnp.float32(cfg.flip_blend)
     nv = [
@@ -594,6 +649,16 @@ def substep(
             for a in range(3)
             for c in range(3)
         ]
+        if scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present:
+            # Snow-plasticity singular-value clamp (mls-mpm88:164-170).
+            # Dead slots are parked at F = I, unchanged by the clamp.
+            fm = jnp.stack(
+                [jnp.stack(f_new[3 * a : 3 * a + 3], -1) for a in range(3)], -2
+            )
+            fm = mat.plastic_clamp(
+                scene.params, b.mat, fm, scene.materials_present
+            )
+            f_new = [fm[..., a, c] for a in range(3) for c in range(3)]
     return FluidBuckets3D(
         x0=b.x0 + dt * vpic[0] * b.mask,
         x1=b.x1 + dt * vpic[1] * b.mask,

@@ -122,6 +122,38 @@ def neo_hookean_tau_hat(
     )
 
 
+def plastic_clamp(
+    params: MaterialParams,
+    material: jax.Array,
+    f: jax.Array,
+    materials_present: Tuple[int, ...] = (WEAKLY_COMPRESSIBLE_FLUID,),
+) -> jax.Array:
+    """Snow-plasticity singular-value clamp, applied at F-update time
+    (reference: mls-mpm88-explained.cpp:164-170): F <- U clamp(Sigma) V^T
+    for FIXED_COROTATED particles when ``params.plastic``.
+
+    The reference's validation solver additionally tracks the plastic
+    volume ratio Jp with hardening (:172-177); the production field set
+    (fields.py) has no Jp, so hardening remains a validation-model-only
+    feature (models/mls_mpm.py) and the production clamp is volume-only.
+    Static no-op (returns ``f`` untouched) unless the scene declares a
+    plastic fixed-corotated material.
+    """
+    if not params.plastic or FIXED_COROTATED not in materials_present:
+        return f
+    dt = f.dtype
+    u, sig, v = mathx.svd(f)
+    sig_c = jnp.clip(
+        sig,
+        jnp.asarray(params.sig_clamp_lo, dt),
+        jnp.asarray(params.sig_clamp_hi, dt),
+    )
+    f_c = mathx.mm(u, sig_c[..., :, None] * mathx.transpose(v))
+    if materials_present == (FIXED_COROTATED,):
+        return f_c
+    return jnp.where((material == FIXED_COROTATED)[..., None, None], f_c, f)
+
+
 def tau_hat(
     params: MaterialParams,
     material: jax.Array,

@@ -32,6 +32,13 @@ def _lattice(counts, origin, size, dtype):
     return np.stack([g.reshape(-1) for g in grids], axis=-1).astype(dtype)
 
 
+def _floor_of(p) -> float:
+    """Absolute grid-mass floor for the scene: 1e-8 x the lightest
+    particle (see stabilized.Scene.mass_floor — shard-invariant)."""
+    import numpy as _np
+    return 1e-8 * float(_np.min(_np.asarray(p.mass)))
+
+
 def dam_break_2d(
     cfg: Optional[MPMConfig] = None,
     physics: Physics = Physics(),
@@ -54,7 +61,7 @@ def dam_break_2d(
     scene = Scene(cfg=cfg, physics=physics, params=mat.MaterialParams(
         bulk_modulus=physics.bulk_modulus,
         dynamic_viscosity=physics.dynamic_viscosity,
-    ))
+    ), mass_floor=_floor_of(p))
     return p, scene
 
 
@@ -64,6 +71,8 @@ def elastic_drop_2d(
     dtype=np.float64,
     block_frac: float = 0.12,
     drop_height_frac: float = 0.55,
+    block_material: int = mat.NEO_HOOKEAN,
+    plastic: bool = False,
 ) -> Tuple[Particles, Scene]:
     """Neo-Hookean elastic block dropped into the fluid column
     (BASELINE.json configs[2] 'multi-material scene')."""
@@ -87,7 +96,7 @@ def elastic_drop_2d(
     material = np.concatenate(
         [
             np.full(len(fluid_x), mat.WEAKLY_COMPRESSIBLE_FLUID, np.int32),
-            np.full(len(block_x), mat.NEO_HOOKEAN, np.int32),
+            np.full(len(block_x), block_material, np.int32),
         ]
     )
     vol_f = cfg.initial_particle_volume
@@ -118,8 +127,10 @@ def elastic_drop_2d(
             dynamic_viscosity=physics.dynamic_viscosity,
             mu=e_block / (2 * (1 + nu_block)),
             lam=e_block * nu_block / ((1 + nu_block) * (1 - 2 * nu_block)),
+            plastic=plastic,
         ),
-        materials_present=(mat.WEAKLY_COMPRESSIBLE_FLUID, mat.NEO_HOOKEAN),
+        materials_present=(mat.WEAKLY_COMPRESSIBLE_FLUID, block_material),
+        mass_floor=_floor_of(p),
     )
     return p, scene
 
@@ -162,6 +173,7 @@ def slab_3d(
             dynamic_viscosity=physics.dynamic_viscosity,
         ),
         wall=WallBC("slip"),
+        mass_floor=_floor_of(p),
     )
     return p, scene
 
@@ -174,6 +186,7 @@ def elastic_drop_3d(
     dtype=np.float32,
     dt: float = 2e-5,
     block_material: int = mat.NEO_HOOKEAN,
+    plastic: bool = False,
     **cfg_kwargs,
 ) -> Tuple[Particles, Scene]:
     """3D mixed-material scene: an elastic block dropped onto a fluid slab
@@ -222,9 +235,11 @@ def elastic_drop_3d(
             dynamic_viscosity=physics.dynamic_viscosity,
             mu=e_block / (2 * (1 + nu_block)),
             lam=e_block * nu_block / ((1 + nu_block) * (1 - 2 * nu_block)),
+            plastic=plastic,
         ),
         materials_present=(mat.WEAKLY_COMPRESSIBLE_FLUID, block_material),
         wall=WallBC("slip"),
+        mass_floor=_floor_of(p),
     )
     return p, scene
 
@@ -265,5 +280,6 @@ def dam_break_3d(
             dynamic_viscosity=physics.dynamic_viscosity,
         ),
         wall=WallBC("slip"),
+        mass_floor=_floor_of(p),
     )
     return p, scene

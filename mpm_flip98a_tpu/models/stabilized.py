@@ -101,6 +101,13 @@ class Scene:
     params: mat.MaterialParams = mat.MaterialParams()
     materials_present: Tuple[int, ...] = (mat.WEAKLY_COMPRESSIBLE_FLUID,)
     wall: WallBC = WallBC()
+    # Absolute grid-mass floor (kg): nodes below it are treated as empty
+    # in the grid update.  Scene builders set 1e-8 x the lightest particle
+    # mass; 0.0 falls back to the relative floor 1e-8 * max(g_m).  An
+    # absolute floor is shard-invariant — the relative one is evaluated
+    # per-shard inside shard_map, so neighboring shards could disagree on
+    # `has` for shared halo rows (advisor r2 finding).
+    mass_floor: float = 0.0
 
 
 @dataclasses.dataclass
@@ -123,6 +130,9 @@ class GridContext:
     cell_shape: Tuple[int, ...]
     base_shift: jax.Array = None   # (dim,) int32 subtracted from global bases
     row_index0: jax.Array = None   # global node row index of local axis-0 rows
+    # Slab-decomposition hooks for grid-side derivative chains (CSF):
+    axis: str = None               # mesh axis name for pmax/psum scalars
+    halo_exchange: Callable = None  # refresh axis-0 halo rows from neighbors
 
     @staticmethod
     def single(cfg: MPMConfig) -> "GridContext":
@@ -135,6 +145,13 @@ class GridContext:
         if self.base_shift is None:
             return idx
         return idx - self.base_shift
+
+
+def _mass_floor(scene: Scene, g_m: jax.Array) -> jax.Array:
+    """Grid-mass emptiness threshold (see Scene.mass_floor)."""
+    if scene.mass_floor > 0.0:
+        return jnp.asarray(scene.mass_floor, g_m.dtype)
+    return jnp.asarray(1e-8, g_m.dtype) * jnp.max(g_m)
 
 
 def _grid_coords(p_x: jax.Array, cfg: MPMConfig):
@@ -267,7 +284,26 @@ def _apply_wall_bc(
     return v
 
 
-def _csf_force(g_m: jax.Array, cfg: MPMConfig, physics, dtype) -> jax.Array:
+def _roll0(c: jax.Array, shift: int, axis: int) -> jax.Array:
+    """Shift with zero fill (vacuum outside the buffer): the color field
+    convention treats everything beyond the padded grid as empty."""
+    r = jnp.roll(c, shift, axis=axis)
+    edge = 0 if shift > 0 else -1
+    return r.at[(slice(None),) * axis + (edge,)].set(0.0)
+
+
+def _cdiff(c: jax.Array, axis: int, inv_dx) -> jax.Array:
+    """Central difference with zero-extended boundaries.
+
+    Unlike `jnp.gradient` (one-sided at buffer edges), this stencil is
+    translation invariant, so a slab-local buffer with valid halo rows
+    reproduces the single-device values exactly on its interior."""
+    return (_roll0(c, -1, axis) - _roll0(c, 1, axis)) * (0.5 * inv_dx)
+
+
+def _csf_force(
+    g_m: jax.Array, cfg: MPMConfig, physics, dtype, ctx: "GridContext" = None
+) -> jax.Array:
     """Continuum-surface-force density sigma kappa grad(c~) on the grid.
 
     The normalized, binomially-smoothed nodal mass field is the color
@@ -275,34 +311,44 @@ def _csf_force(g_m: jax.Array, cfg: MPMConfig, physics, dtype) -> jax.Array:
     from the interface (|n| below 1% of the global max) contribute
     nothing — this also kills the B-spline deposition ripple that
     survives the smoothing.  EXTENSION beyond the reference's switch set
-    (config.py:18-29); general path only.
+    (config.py:18-29); general path only (the fast paths reject the
+    switch loudly).
 
-    Slab-decomposition caveat: the gradient at the outermost halo row of
-    a local buffer is one-sided, so shards disagree on that halo copy
-    when the interface touches a slab edge (H = 2 halos carry the field
-    itself, not its derivatives).  Fine for the single-chip path and
-    interfaces away from slab boundaries; not yet exact under
-    parallel/domain.py."""
+    Slab decomposition (ctx.axis set): every derivative in the chain
+    consumes one ring of valid axis-0 rows, so after each radius-1 stage
+    the outermost halo rows are refreshed from the neighbors' interiors
+    (ctx.halo_exchange = domain.halo_gather) and the two global maxima
+    ride a pmax — the sharded result then matches single-device exactly
+    (tests/test_surface_tension.py sharded case)."""
     d = g_m.ndim
+    sharded = ctx is not None and ctx.axis is not None
+
+    def gmax(x):
+        m = jnp.max(x)
+        return jax.lax.pmax(m, ctx.axis) if sharded else m
+
+    def sync(x):
+        return ctx.halo_exchange(x) if sharded else x
+
     inv_dx = jnp.asarray(cfg.inv_dx, dtype)
-    c = g_m / jnp.maximum(jnp.max(g_m), jnp.asarray(1e-30, dtype))
+    c = g_m / jnp.maximum(gmax(g_m), jnp.asarray(1e-30, dtype))
     # One binomial (1,2,1)/4 pass per axis smooths the deposition ripple.
     for a in range(d):
-        up = jnp.roll(c, 1, axis=a).at[(slice(None),) * a + (0,)].set(0.0)
-        dn = jnp.roll(c, -1, axis=a).at[(slice(None),) * a + (-1,)].set(0.0)
-        c = 0.25 * up + 0.5 * c + 0.25 * dn
-    grad = [jnp.gradient(c, axis=a) * inv_dx for a in range(d)]
-    n = jnp.stack(grad, axis=-1)
+        c = 0.25 * _roll0(c, 1, a) + 0.5 * c + 0.25 * _roll0(c, -1, a)
+    c = sync(c)
+    n = jnp.stack([_cdiff(c, a, inv_dx) for a in range(d)], axis=-1)
+    n = sync(n)
     mag = jnp.sqrt(jnp.sum(n * n, axis=-1))
-    near = mag > 0.01 * jnp.max(mag)
+    near = mag > 0.01 * gmax(mag)
     safe = jnp.where(near, mag, 1.0)
     nhat = jnp.where(near[..., None], n / safe[..., None], 0.0)
-    div_nhat = sum(
-        jnp.gradient(nhat[..., a], axis=a) * inv_dx for a in range(d)
-    )
+    div_nhat = sum(_cdiff(nhat[..., a], a, inv_dx) for a in range(d))
     kappa = -div_nhat
     sigma = jnp.asarray(cfg.surface_tension, dtype)
-    return jnp.where(near[..., None], sigma * kappa[..., None] * n, 0.0)
+    force = jnp.where(near[..., None], sigma * kappa[..., None] * n, 0.0)
+    # kappa is one-sided on the outermost halo rows — refresh them so the
+    # halo copies of the nodal force agree with the owning shard.
+    return sync(force)
 
 
 def substep_grid(
@@ -410,9 +456,10 @@ def substep_grid(
     g_vol = g_out[..., 2 * d + 1]
 
     # ---- grid update ---------------------------------------------------
-    # Relative mass floor — see fast3d._grid_update: knife-edge stencil
-    # taps leave ~1e-15-mass nodes whose momentum/mass ratio is fp noise.
-    has_mass = g_m > 1e-8 * jnp.max(g_m)
+    # Mass floor — see fast3d._grid_update: knife-edge stencil taps leave
+    # ~1e-15-mass nodes whose momentum/mass ratio is fp noise.  Absolute
+    # (scene.mass_floor) when available: shard-invariant under shard_map.
+    has_mass = g_m > _mass_floor(scene, g_m)
     safe_m = jnp.where(has_mass, g_m, 1.0)
     v0 = jnp.where(has_mass[..., None], g_mv0 / safe_m[..., None], 0.0)
 
@@ -424,7 +471,7 @@ def substep_grid(
         # color function — F/V = sigma kappa grad(c~), applied as a nodal
         # force dt F/V * (m/rho).
         rhs = rhs + dt * _csf_force(
-            g_m, cfg, scene.physics, dt_
+            g_m, cfg, scene.physics, dt_, ctx
         ) * (g_m / jnp.asarray(scene.physics.particle_density, dt_))[..., None]
     if cfg.use_penalty_ebc:
         # Matrix nodal mass: A = m I + dt beta sum n(x)n  (diagonal for the
@@ -481,6 +528,11 @@ def substep_grid(
 
     x_new = p.x + dt * v_pic
     f_new = mathx.mm(jnp.eye(d, dtype=dt_)[None] + dt * c_new, p.F)
+    # Snow-plasticity singular-value clamp (static no-op unless the scene
+    # declares a plastic fixed-corotated material; mls-mpm88:164-170).
+    f_new = mat.plastic_clamp(
+        scene.params, p.material, f_new, scene.materials_present
+    )
     # J via the divergence rate — the stabilized volumetric update.  With
     # pressure mixing on, the grid-projected (smoothed) divergence drives J
     # with a one-substep lag (div_used comes from the pre-update C): the

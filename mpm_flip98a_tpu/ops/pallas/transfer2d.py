@@ -72,18 +72,44 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# In-kernel matmul precision.  The MXU's DEFAULT precision runs fp32
+# operands as ONE bf16 pass: measured 1.7e-3 partition-of-unity error on
+# the one-hot weight products, which acts as a 0.4%-level per-transfer
+# noise force and destabilized a 64^3 run within 300 substeps (TPU-only;
+# interpret mode is exact fp32 and hid it).  Round 2 fixed this with
+# Precision.HIGHEST (bf16x6), costing 21%/15% of the 2D/3D headline.
+# Round 3 recovers most of that with a MANUAL bf16x3 split (Mosaic
+# rejects Precision.HIGH): a = hi + lo with hi = bf16(a) and
+# lo = fp32(a - hi) exactly representable, so
+#   a @ b = ahi@bhi + alo@bhi + ahi@blo + O(2^-16)
+# with each term a single-pass bf16 MXU dot accumulated in fp32.
+# Measured max relative error ~4e-6 (validated: PoU probe 0 violations
+# at 1e-5, fused-vs-general tap, 500-substep 64^3 multimaterial
+# stability on real TPU — docs/PERF.md round-3 notes).
+# MPM_DOT_MODE env: bf16x3 (default) | highest | default (A/B probes).
+_DOT_MODE = __import__("os").environ.get("MPM_DOT_MODE", "bf16x3")
+
+
 def _dot(a, b):
-    """Full-precision kernel matmul.  The MXU's DEFAULT precision runs
-    fp32 operands as ONE bf16 pass: measured 1.7e-3 partition-of-unity
-    error on the one-hot weight products, which acts as a 0.4%-level
-    per-transfer noise force and destabilized a 64^3 run within 300
-    substeps (TPU-only; interpret mode is exact fp32 and hid it).
-    HIGHEST restores fp32-quality results on the MXU."""
-    return jnp.dot(
-        a, b,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # bf16x6 ~ full fp32
-    )
+    """Full-precision kernel matmul (see precision note above)."""
+    if _interpret() or _DOT_MODE == "highest":
+        # Interpret mode (CPU tests) stays exact fp32.
+        return jnp.dot(
+            a, b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # bf16x6 ~ full fp32
+        )
+    if _DOT_MODE == "default":  # known-wrong physics; probe only
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
 
 def _axis_weights(fx):
@@ -144,8 +170,25 @@ def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, e
 
 def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: bool, apic: bool):
     pd = pdata_ref[0]  # (14, KC)
-    k = pd.shape[1]
-    gx0, gx1 = pd[0], pd[1]
+    mv = (pd[2], pd[3])
+    p_aff = (pd[4], pd[5], pd[6], pd[7])   # P00 P01 P10 P11
+    q_aff = (pd[8], pd[9], pd[10], pd[11])
+    nch = P2G_CH_EXT if ext else P2G_CH
+    plain = [pd[12 + e] for e in range(nch - 4)]  # m, V[, V0 J, V0, V0 p, V0 div]
+    _p2g_core(
+        out_ref, i, pd[0], pd[1], mv, p_aff, q_aff, plain,
+        g=g, dx=dx, tent=tent, apic=apic,
+    )
+
+
+def _p2g_core(
+    out_ref, i, gx0, gx1, mv, p_aff, q_aff, plain,
+    *, g: int, dx: float, tent: bool, apic: bool,
+):
+    """Shared P2G chunk body: one-hot column matmul + 5-target-row
+    expansion, for channels [mv (2), mv + f (2), *plain]."""
+    k = gx0.shape[0]
+    nch = 4 + len(plain)
 
     base0 = jnp.floor(gx0 - 0.5)
     rel = base0 - i.astype(jnp.float32)
@@ -167,11 +210,6 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: boo
     for c in range(3):
         w_mat = w_mat + jnp.where(cols == base1[:, None] + c, w1[c][:, None], 0.0)
 
-    mv = (pd[2], pd[3])
-    p_aff = (pd[4], pd[5], pd[6], pd[7])   # P00 P01 P10 P11
-    q_aff = (pd[8], pd[9], pd[10], pd[11])
-    nch = P2G_CH_EXT if ext else P2G_CH
-    plain = [pd[12 + e] for e in range(nch - 4)]  # m, V[, V0 J, V0, V0 p, V0 div]
     na2 = 4 if apic else 2  # column-linear rows: (P01, P11,) Q01, Q11
     arows = nch + 2 * na2
 
@@ -239,22 +277,128 @@ def p2g(
     assert nch in (P2G_CH, P2G_CH_EXT), f
     ext = nch == P2G_CH_EXT
     kc = _chunk(k)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(r, k // kc),
-        in_specs=[
-            pl.BlockSpec((1, f, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, NT, nch, g), lambda i, j, c: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
+    # counts rides as a PLAIN SMEM operand, NOT scalar prefetch: two
+    # PrefetchScalarGridSpec kernels in one XLA program clobbered each
+    # other's prefetched scalars on the TPU toolchain (bit-stable missing
+    # chunk-skips => whole grid rows of mass lost; docs/PERF.md
+    # postmortem #3).  No index map reads the scalars, so prefetch was
+    # unnecessary anyway.  Same treatment in g2p and transfer3d.
     return pl.pallas_call(
         functools.partial(_p2g_kernel, g=g, dx=dx, kc=kc, ext=ext, tent=tent, apic=apic),
-        grid_spec=grid_spec,
+        grid=(r, k // kc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, f, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NT, nch, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((r, NT, nch, g), jnp.float32),
         interpret=_interpret(),
     )(counts, pdata)
+
+
+P2G_CH_FUSED = 5  # [m v0, m v1, m v0 + f0, m v1 + f1, m] — V is unused
+                  # by the non-ext grid update, so the fused path drops it.
+
+
+def _p2g_fused_kernel(
+    counts_ref, *refs,
+    g: int, dx: float, kc: int, tent: bool, apic: bool,
+    eos: str, kb: float, mu: float, gamma: float, fa: float,
+):
+    out_ref = refs[-1]
+    in_refs = refs[:-1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(j * kc < counts_ref[i])
+    def _body():
+        # Fused fluid stress (fast2d's weakly-compressible tau) computed
+        # in-chunk from the raw state — only ACTIVE chunks pay, where a
+        # slot-shaped XLA prep pass pays for every dead slot (same design
+        # as transfer3d's stress mode).  Dead slots are neutral
+        # (mass = vol0 = 0, J = 1): they contribute exact zeros unmasked.
+        sd = in_refs[0][0]  # (11, KC)
+        ld = lambda ix: sd[ix]
+        gx0, gx1 = ld(0), ld(1)
+        v0, v1 = ld(2), ld(3)
+        c00, c01, c10, c11 = ld(4), ld(5), ld(6), ld(7)
+        jj, mass, vol0 = ld(8), ld(9), ld(10)
+        mv = (mass * v0, mass * v1)
+        if eos == "linear":
+            pressure = -kb * (jj - 1.0)
+        else:  # tait
+            j_safe = jnp.maximum(jj, jnp.float32(1e-3))
+            pressure = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
+        div = c00 + c11
+        vj = vol0 * jj
+        t00 = vj * (-pressure + 2.0 * mu * (c00 - 0.5 * div))
+        t11 = vj * (-pressure + 2.0 * mu * (c11 - 0.5 * div))
+        t01 = vj * (2.0 * mu * 0.5 * (c01 + c10))
+        if apic:
+            p_aff = (mass * c00, mass * c01, mass * c10, mass * c11)
+            q_aff = (
+                p_aff[0] + fa * t00, p_aff[1] + fa * t01,
+                p_aff[2] + fa * t01, p_aff[3] + fa * t11,
+            )
+        else:
+            p_aff = None
+            q_aff = (fa * t00, fa * t01, fa * t01, fa * t11)
+        _p2g_core(
+            out_ref, i, gx0, gx1, mv, p_aff, q_aff, [mass],
+            g=g, dx=dx, tent=tent, apic=apic,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "dx", "tent", "apic", "eos", "kb", "mu", "gamma", "fa"),
+)
+def p2g_fused(
+    sdata: jax.Array,
+    counts: jax.Array,
+    g: int,
+    dx: float,
+    tent: bool,
+    apic: bool,
+    eos: str,
+    kb: float,
+    mu: float,
+    gamma: float,
+    fa: float,
+) -> jax.Array:
+    """Fused-stress P2G for the single-fluid flagship config.
+
+    sdata (R, 11, K): raw state rows [gx0, gx1, v0, v1, C00, C01, C10,
+    C11, J, mass, vol0] — a pure copy, no slot-sized stress prep pass.
+    Returns (R, 5, 5, G)."""
+    r, f, k = sdata.shape
+    assert f == 11, sdata.shape
+    kc = _chunk(k)
+    return pl.pallas_call(
+        functools.partial(
+            _p2g_fused_kernel,
+            g=g, dx=dx, kc=kc, tent=tent, apic=apic,
+            eos=eos, kb=kb, mu=mu, gamma=gamma, fa=fa,
+        ),
+        grid=(r, k // kc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, f, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NT, P2G_CH_FUSED, g),
+            lambda i, j: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, NT, P2G_CH_FUSED, g), jnp.float32),
+        interpret=_interpret(),
+    )(counts, sdata)
 
 
 def fold_rows(expanded: jax.Array) -> jax.Array:
@@ -285,25 +429,43 @@ def fold_rows_halo(expanded: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _g2p_kernel(counts_ref, pdata_ref, *grid_refs_and_out, g: int, dx: float, dinv: float, kc: int, ext: bool, tent: bool):
-    out_ref = grid_refs_and_out[NT]
+def _g2p_kernel(
+    counts_ref, pdata_ref, *rest,
+    g: int, dx: float, dinv: float, kc: int, ext: bool, tent: bool,
+    update: bool, alpha: float, dtv: float,
+):
+    # In update mode pdata carries 5 extra state rows [v0, v1, J, x0, x1]
+    # after [gx0, gx1, mask].
+    out_ref = rest[NT]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     # Skipped chunks (past the row's packed count) must still define their
-    # output block — zero it; the substep masks dead slots anyway.
+    # output block — zero it; the substep masks dead slots anyway.  In
+    # update mode, positions pass through (dead slots must round-trip
+    # their stored value) and J stays neutral at 1.
     @pl.when(j * kc >= counts_ref[i])
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        if update:
+            out_ref[0, 0, :] = pdata_ref[0, 6]  # x0
+            out_ref[0, 1, :] = pdata_ref[0, 7]  # x1
+            out_ref[0, 8, :] = jnp.ones((kc,), jnp.float32)  # J
 
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _g2p_chunk(pdata_ref, grid_refs_and_out, i, g=g, dx=dx, dinv=dinv, ext=ext, tent=tent)
+        _g2p_chunk(
+            pdata_ref, rest, i, g=g, dx=dx, dinv=dinv, ext=ext, tent=tent,
+            update=update, alpha=alpha, dtv=dtv,
+        )
 
 
-def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: float, ext: bool, tent: bool):
-    grid_refs = grid_refs_and_out[:NT]
-    out_ref = grid_refs_and_out[NT]
+def _g2p_chunk(
+    pdata_ref, rest, i, *, g: int, dx: float, dinv: float, ext: bool,
+    tent: bool, update: bool, alpha: float, dtv: float,
+):
+    grid_refs = rest[:NT]
+    out_ref = rest[NT]
     pd = pdata_ref[0]  # (3, K)
     k = pd.shape[1]
     gx0, gx1, mask = pd[0], pd[1], pd[2]
@@ -360,11 +522,33 @@ def _g2p_chunk(pdata_ref, grid_refs_and_out, i, *, g: int, dx: float, dinv: floa
         for e in range(n_extra):
             extra[e] = extra[e] + wr * s[b + 4 + e]
 
-    for ix, vals in enumerate(vpic + vold + c_out + extra):
+    if update:
+        # Fused particle update (FLIP blend, advection, J) — no
+        # slot-sized XLA tail pass (same design as transfer3d's update
+        # mode).  vpic is already masked (wr carries `valid`), so dead
+        # slots pass their position through and keep v = 0, J = 1.
+        vprev = (pd[3], pd[4])
+        jprev = pd[5]
+        xprev = (pd[6], pd[7])
+        x_new = [xprev[a] + dtv * vpic[a] for a in range(2)]
+        v_new = [
+            (alpha * (vprev[a] + vpic[a] - vold[a]) + (1.0 - alpha) * vpic[a])
+            * mask
+            for a in range(2)
+        ]
+        div_new = c_out[0] + c_out[3]
+        j_new = jnp.where(mask > 0, jprev * (1.0 + dtv * div_new), 1.0)
+        outs = x_new + v_new + c_out + [j_new]
+    else:
+        outs = vpic + vold + c_out + extra
+    for ix, vals in enumerate(outs):
         out_ref[0, ix, :] = vals
 
 
-@functools.partial(jax.jit, static_argnames=("dx", "dinv", "tent", "prepadded"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("dx", "dinv", "tent", "prepadded", "update", "alpha", "dtv"),
+)
 def g2p(
     pdata2: jax.Array,
     counts: jax.Array,
@@ -373,6 +557,9 @@ def g2p(
     dinv: float,
     tent: bool = False,
     prepadded: bool = False,
+    update: bool = False,
+    alpha: float = 0.0,
+    dtv: float = 0.0,
 ) -> jax.Array:
     """pdata2 (R, 3, K), counts (R,) int32, grid4 (R, gch, G)
     channels-leading -> (R, 8 or 11, K).
@@ -383,11 +570,19 @@ def g2p(
     With prepadded=True, grid4 is ALREADY the (R+4, gch, G) halo buffer
     (row j = bucket-relative target row j - 1) — the slab-sharded fast
     path passes its halo-synced buffer directly."""
-    r, _, k = pdata2.shape
+    r, npd, k = pdata2.shape
     gch = grid4.shape[1]
     assert gch in (G2P_CH, G2P_CH_EXT), grid4.shape
     ext = gch == G2P_CH_EXT
-    n_out = 8 + (gch - G2P_CH)
+    if update:
+        # Fused particle update: pdata2 carries the state rows
+        # [gx0, gx1, mask, v0, v1, J, x0, x1]; output rows become
+        # [x0, x1, v0, v1, C00..C11, J].
+        assert not ext and npd == 8, pdata2.shape
+        n_out = 9
+    else:
+        assert npd == 3, pdata2.shape
+        n_out = 8 + (gch - G2P_CH)
     g = grid4.shape[2]
     kc = _chunk(k)
     if prepadded:
@@ -399,24 +594,25 @@ def g2p(
 
     grid_specs = [
         pl.BlockSpec(
-            (1, gch, g), (lambda i, j, c, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
+            (1, gch, g), (lambda i, j, t=t: (i + t, 0, 0)), memory_space=pltpu.VMEM
         )
         for t in range(NT)
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # counts as a plain SMEM operand — see p2g's prefetch-clobber note.
+    return pl.pallas_call(
+        functools.partial(
+            _g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc, ext=ext, tent=tent,
+            update=update, alpha=alpha, dtv=dtv,
+        ),
         grid=(r, k // kc),
         in_specs=[
-            pl.BlockSpec((1, 3, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, npd, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             *grid_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, n_out, kc), lambda i, j, c: (i, 0, j), memory_space=pltpu.VMEM
+            (1, n_out, kc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-    )
-    return pl.pallas_call(
-        functools.partial(_g2p_kernel, g=g, dx=dx, dinv=dinv, kc=kc, ext=ext, tent=tent),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, n_out, k), jnp.float32),
         interpret=_interpret(),
     )(counts, pdata2, *([padded] * NT))

@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights, _dot, _interpret, _row_weights
+from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights, _dot, _interpret, _row_weights, _taps
 
 NT = 5
 P2G_CH = 7            # mv_pure(3), mv_forced(3), m
@@ -123,6 +123,7 @@ def _p2g3d_kernel(
     mu: float,
     gamma: float,
     fa: float,
+    tent: bool,
 ):
     out_ref = refs[-1]
     in_refs = refs[:-1]
@@ -151,7 +152,7 @@ def _p2g3d_kernel(
                     in_refs, out_ref, i0, i1, tz, b, q,
                     g1=g1, g2t=g2t, dx=dx, kc=kc,
                     apic=apic, ext=ext, stress=stress, kb=kb, mu=mu,
-                    gamma=gamma, fa=fa,
+                    gamma=gamma, fa=fa, tent=tent,
                 )
         return carry
 
@@ -167,7 +168,7 @@ def _take_row(block, b):
 
 def _p2g3d_chunk(
     refs, out_ref, i0, i1, tz, b, q,
-    *, g1, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa,
+    *, g1, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa, tent,
 ):
     sl = slice(q * kc, (q + 1) * kc)
     ld = lambda ix: _take_row(refs[ix][0], b)[sl]
@@ -230,9 +231,9 @@ def _p2g3d_chunk(
     valid = (
         (rel0 >= -1.0) & (rel0 <= 1.0) & (rel1 >= -1.0) & (rel1 <= 1.0)
     ).astype(jnp.float32)
-    w0 = _axis_weights(gx0 - base0)
-    w1 = _axis_weights(gx1 - base1)
-    w2 = _axis_weights(gx2 - base2)
+    w0 = _taps(gx0 - base0, tent)
+    w1 = _taps(gx1 - base1, tent)
+    w2 = _taps(gx2 - base2, tent)
 
     col0 = tz * g2t
     w_mat = _onehot_w(base2, w2, kc, g2t, col0)
@@ -296,7 +297,7 @@ def _p2g3d_chunk(
     jax.jit,
     static_argnames=(
         "g1", "g2", "dx", "apic", "ext",
-        "stress", "kb", "mu", "gamma", "fa",
+        "stress", "kb", "mu", "gamma", "fa", "tent",
     ),
 )
 def p2g3d(
@@ -312,6 +313,7 @@ def p2g3d(
     mu: float = 0.0,
     gamma: float = 7.0,
     fa: float = 0.0,
+    tent: bool = False,
 ) -> jax.Array:
     """fields: tuple of (R0, R1, K) arrays in the P2G channel order above;
     counts (R0*R1,) int32 -> (R0, 5, G1, nch, G2) — grid-row-major so the
@@ -331,8 +333,9 @@ def p2g3d(
     # (~6 MB cap: the kernel body needs ~9 MB of scoped VMEM for its
     # A/W/o temporaries on top — a 9.2 MB untiled block OOMs the 16 MB
     # budget, measured at 256^3).
+    cap_mb = float(__import__("os").environ.get("MPM_P2G3D_BLOCK_MB", "6"))
     n_tz = 1
-    while NT * nch * g1 * (g2 // n_tz) * 4 > 6 * 1024 * 1024:
+    while NT * nch * g1 * (g2 // n_tz) * 4 > cap_mb * 1024 * 1024:
         n_tz *= 2
     assert g2 % n_tz == 0, (g2, n_tz)
     g2t = g2 // n_tz
@@ -354,7 +357,7 @@ def p2g3d(
             _p2g3d_kernel,
             r1=r1, b1=b1, g1=g1, g2t=g2t,
             dx=dx, kc=kc, apic=apic, ext=ext,
-            stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa,
+            stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa, tent=tent,
         ),
         grid=(r0, n_tz, r1 // b1),
         in_specs=in_specs,
@@ -415,6 +418,7 @@ def _g2p3d_kernel(
     update: bool,
     alpha: float,
     dtv: float,
+    tent: bool,
 ):
     # refs: gx0, gx1, gx2, mask, [v0, v1, v2, J, x0, x1, x2 if update],
     #       NT * (b1 + NT - 1) grid rows, out
@@ -443,20 +447,28 @@ def _g2p3d_kernel(
         for q in range(k // kc):
             @pl.when(q * kc >= cnt)
             def _(b=b, q=q):
-                out_ref[0, b, :, pl.ds(q * kc, kc)] = dead
+                ds = pl.ds(q * kc, kc)
+                out_ref[0, b, :, ds] = dead
+                if update:
+                    # Pass the input positions through (not zeros): the
+                    # sharded caller adds x0_shift back to row 0, and the
+                    # dead-slot invariant "(0 - a) + a == 0" only holds if
+                    # dead slots round-trip their stored (shifted) value.
+                    for a in range(3):
+                        out_ref[0, b, a, ds] = refs[8 + a][0, b, ds]
 
             @pl.when(q * kc < cnt)
             def _(b=b, q=q, i1=i1, rows=rows):
                 _g2p3d_chunk(
                     refs, rows, out_ref, i0, i1, b, q,
                     g2=g2, dx=dx, dinv=dinv, kc=kc,
-                    ext=ext, update=update, alpha=alpha, dtv=dtv,
+                    ext=ext, update=update, alpha=alpha, dtv=dtv, tent=tent,
                 )
 
 
 def _g2p3d_chunk(
     refs, grid_rows, out_ref, i0, i1, b, q,
-    *, g2, dx, dinv, kc, ext, update, alpha, dtv,
+    *, g2, dx, dinv, kc, ext, update, alpha, dtv, tent,
 ):
     sl = slice(q * kc, (q + 1) * kc)
     # Precomputed grid coordinates — see _p2g3d_chunk's note on the
@@ -473,9 +485,9 @@ def _g2p3d_chunk(
     valid = mask * (
         (rel0 >= -1.0) & (rel0 <= 1.0) & (rel1 >= -1.0) & (rel1 <= 1.0)
     ).astype(jnp.float32)
-    w0 = _axis_weights(gx0 - base0)
-    w1 = _axis_weights(gx1 - base1)
-    w2 = _axis_weights(gx2 - base2)
+    w0 = _taps(gx0 - base0, tent)
+    w1 = _taps(gx1 - base1, tent)
+    w2 = _taps(gx2 - base2, tent)
 
     # Transposed one-hot (G2, K): channels land on sublanes after the dot.
     rows_io = jax.lax.broadcasted_iota(jnp.int32, (g2, kc), 0).astype(jnp.float32)
@@ -542,7 +554,7 @@ def _g2p3d_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dx", "dinv", "ext", "alpha", "dtv", "prepadded0"),
+    static_argnames=("dx", "dinv", "ext", "alpha", "dtv", "prepadded0", "tent"),
 )
 def g2p3d(
     gx0: jax.Array,
@@ -558,6 +570,7 @@ def g2p3d(
     alpha: float = 0.0,
     dtv: float = 0.0,
     prepadded0: bool = False,
+    tent: bool = False,
 ) -> jax.Array:
     """x/mask (R0, R1, K), grid (R0, R1, gch, G2) -> (R0, R1, nout, K).
 
@@ -588,7 +601,7 @@ def g2p3d(
     grid_specs = [
         pl.BlockSpec(
             (1, 1, gch, g2),
-            (lambda i, gq, c, t0=t0, u=u: (i + t0, gq * b1 + u, 0, 0)),
+            (lambda i, gq, t0=t0, u=u: (i + t0, gq * b1 + u, 0, 0)),
             memory_space=pltpu.VMEM,
         )
         for t0 in range(NT)
@@ -596,25 +609,22 @@ def g2p3d(
     ]
     n_part = 11 if update else 4
     part_specs = [
-        pl.BlockSpec((1, b1, k), lambda i, gq, c: (i, gq, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, b1, k), lambda i, gq: (i, gq, 0), memory_space=pltpu.VMEM)
         for _ in range(n_part)
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(r0, r1 // b1),
-        in_specs=[*part_specs, *grid_specs],
-        out_specs=pl.BlockSpec(
-            (1, b1, nout, k), lambda i, gq, c: (i, gq, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
+    # counts as a plain SMEM operand — see p2g3d's prefetch-clobber note.
     return pl.pallas_call(
         functools.partial(
             _g2p3d_kernel,
             r1=r1, b1=b1, g2=g2,
             dx=dx, dinv=dinv, kc=kc, ext=ext,
-            update=update, alpha=alpha, dtv=dtv,
+            update=update, alpha=alpha, dtv=dtv, tent=tent,
         ),
-        grid_spec=grid_spec,
+        grid=(r0, r1 // b1),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), *part_specs, *grid_specs],
+        out_specs=pl.BlockSpec(
+            (1, b1, nout, k), lambda i, gq: (i, gq, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((r0, r1, nout, k), jnp.float32),
         interpret=_interpret(),
     )(

@@ -359,6 +359,10 @@ def make_run(scene: Scene, spec: DomainSpec, mesh: Mesh, axis: str = "x"):
             cell_shape=cell_shape,
             base_shift=shift,
             row_index0=s * L - H + jnp.arange(L + 2 * H),
+            axis=axis,
+            # Halo refresh for grid-side derivative chains (CSF): copy the
+            # neighbors' completed interior rows into the local halos.
+            halo_exchange=lambda buf: halo_gather(buf, axis, n, L),
         )
 
         def body(_, st: DomainState) -> DomainState:

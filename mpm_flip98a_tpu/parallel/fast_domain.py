@@ -173,12 +173,18 @@ def rebucket_migrate(
     row_local = (
         jnp.floor(cat[0] * inv_dx + jnp.float32(PAD) - 0.5).astype(jnp.int32) - lo
     )
+    # Guard the one-shard-hop assumption: an arrival still outside [0, l)
+    # would be silently clipped into the edge bucket (outside the kernels'
+    # +-1-row validity margin) — count it as overflow instead.
+    hop_drop = jnp.sum(
+        jnp.where(act & ((row_local < 0) | (row_local >= l)), 1, 0)
+    ).astype(jnp.int32)
     fields, mask, ovf = binning.bucket_by_row(row_local, act, cat, l, k)
     return _safe_dead_slots(
         FluidBuckets(
             *fields,
             mask=mask.astype(jnp.float32),
-            overflow=b.overflow + ovf + mig_drop,
+            overflow=b.overflow + ovf + mig_drop + hop_drop,
         )
     )
 

@@ -148,13 +148,21 @@ def rebucket_migrate(
     act = jnp.concatenate([stay, in_from_left[1], in_from_right[1]])
     r0a = jnp.floor(cat[0] * inv_dx + jnp.float32(PAD) - 0.5).astype(jnp.int32) - lo
     r1a = jnp.floor(cat[1] * inv_dx + jnp.float32(PAD) - 0.5).astype(jnp.int32)
+    # A particle that crossed MORE than one slab between rebuckets would
+    # be silently re-homed into the edge bucket by the clip below and sit
+    # outside the kernels' +-1-row validity margin — count it into the
+    # overflow counter so the one-shard-hop provisioning assumption is
+    # guarded by the existing overflow == 0 test invariant.
+    hop_drop = jnp.sum(
+        jnp.where(act & ((r0a < 0) | (r0a >= l)), 1, 0)
+    ).astype(jnp.int32)
     pair = jnp.clip(r0a, 0, l - 1) * g + jnp.clip(r1a, 0, g - 1)
     fields, mask, ovf = binning.bucket_by_row(pair, act, cat, l * g, k)
     return _safe_dead_slots(
         FluidBuckets3D(
             *fields,
             mask=mask.astype(jnp.float32),
-            overflow=b.overflow + ovf + mig_drop,
+            overflow=b.overflow + ovf + mig_drop + hop_drop,
         )
     )
 

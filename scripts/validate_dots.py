@@ -1,0 +1,137 @@
+"""Validate the in-kernel dot precision mode on the REAL TPU backend.
+
+The round-2 postmortem (docs/PERF.md) requires any change to the kernel
+matmul precision to re-run this protocol before it counts:
+
+  1. Partition-of-unity probe: G2P of an all-ones grid field must return
+     weight sums == 1 per particle; count |sum - 1| > 1e-5 violations
+     (DEFAULT precision showed 34k/41k violations up to 1.7e-3).
+  2. Fused-vs-general tap: one substep of the fast path vs the general
+     XLA stabilized path on the same scene; report max position /
+     velocity deltas.
+  3. Long-horizon stability: 500-substep 64^3 multimaterial elastic-drop
+     scene; must stay finite with bounded |v| and zero overflow.
+
+Usage:  MPM_DOT_MODE=bf16x3 python scripts/validate_dots.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from mpm_flip98a_tpu.config import MPMConfig, TransferKind
+from mpm_flip98a_tpu.models import fast2d, fast3d, scenes
+from mpm_flip98a_tpu.models.stabilized import PAD, substep as substep_ref
+from mpm_flip98a_tpu.ops.pallas import transfer2d as tk
+
+
+def pou_probe():
+    """G2P weight sums over an all-ones grid: should be exactly 1."""
+    cfg = MPMConfig(
+        dtype="float32", num_grids=257, dt=1e-5,
+        num_particles_x=512, num_particles_y=256,
+        fluid_width=0.42, fluid_height=0.21,
+        flip_blend=0.98, transfer=TransferKind.PIC,
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, cfg, spec)
+    r, k = b.x0.shape
+    inv_dx = jnp.float32(cfg.inv_dx)
+    gx0 = b.x0 * inv_dx + jnp.float32(PAD)
+    gx1 = b.x1 * inv_dx + jnp.float32(PAD)
+    pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)  # (R, 3, K)
+    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
+    grid4 = jnp.ones((r, 4, cfg.num_grids), jnp.float32)
+    out = jax.jit(
+        lambda pd, c, g: tk.g2p(pd, c, g, dx=float(cfg.dx), dinv=1.0)
+    )(pdata2, counts, grid4)
+    # channel 0 = sum_w * 1 over the ones grid
+    s = np.asarray(out[:, 0, :])
+    mask = np.asarray(b.mask) > 0
+    err = np.abs(s[mask] - 1.0)
+    n_viol = int((err > 1e-5).sum())
+    print(
+        f"PoU probe: n={mask.sum()} max|sum_w-1|={err.max():.3e} "
+        f"violations(>1e-5)={n_viol}", flush=True,
+    )
+    return n_viol == 0, float(err.max())
+
+
+def tap_2d():
+    cfg = MPMConfig(
+        dtype="float32", num_grids=65, dt=1e-5,
+        num_particles_x=64, num_particles_y=128,
+        fluid_width=0.105, fluid_height=0.21,
+        flip_blend=0.98, transfer=TransferKind.PIC,
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, cfg, spec)
+    b1 = fast2d.substep(b, scene)
+    p1 = substep_ref(p, scene)
+    h = fast2d.to_host(b1)
+    x_f = np.stack([h["x0"], h["x1"]], -1)
+    v_f = np.stack([h["v0"], h["v1"]], -1)
+    of = np.lexsort((x_f[:, 1], x_f[:, 0]))
+    xr = np.asarray(p1.x)
+    vr = np.asarray(p1.v)
+    orr = np.lexsort((xr[:, 1], xr[:, 0]))
+    dx_max = np.abs(x_f[of] - xr[orr]).max()
+    dv_max = np.abs(v_f[of] - vr[orr]).max()
+    print(f"tap 2D fused-vs-general: |dx|max={dx_max:.3e} |dv|max={dv_max:.3e}",
+          flush=True)
+    return dx_max < 1e-6 and dv_max < 1e-3, (float(dx_max), float(dv_max))
+
+
+def stability_3d(n_total=500):
+    p, scene = scenes.elastic_drop_3d(
+        num_grids=64, fluid_particles=(48, 48, 16), block_particles=(16, 16, 16),
+        dt=1e-5,
+    )
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    bb = b
+    done = 0
+    ok = True
+    vmax = 0.0
+    for n in (100, 100, 100, 100, 100):
+        if done >= n_total:
+            break
+        bb = fast3d.run(bb, scene, spec, n)
+        done += n
+        h = fast3d.to_host(bb)
+        x = np.stack([h["x0"], h["x1"], h["x2"]], -1)
+        fin = bool(np.isfinite(x).all() and np.isfinite(h["v0"]).all())
+        vmax = max(np.abs(h[k]).max() for k in ("v0", "v1", "v2"))
+        ovf = int(np.asarray(bb.overflow))
+        print(
+            f"3D substep {done}: finite={fin} |J-1|max={np.abs(h['J']-1).max():.4g}"
+            f" |v|max={vmax:.4g} overflow={ovf}", flush=True,
+        )
+        if not fin or ovf != 0 or vmax > 10.0:
+            ok = False
+            break
+    return ok, float(vmax)
+
+
+def main():
+    mode = os.environ.get("MPM_DOT_MODE", "bf16x3")
+    print(f"backend={jax.default_backend()} MPM_DOT_MODE={mode}", flush=True)
+    ok1, pou = pou_probe()
+    ok2, tap = tap_2d()
+    ok3, vmax = stability_3d()
+    print(f"RESULT mode={mode} pou_ok={ok1} tap_ok={ok2} stable_ok={ok3}",
+          flush=True)
+    sys.exit(0 if (ok1 and ok2 and ok3) else 1)
+
+
+if __name__ == "__main__":
+    main()

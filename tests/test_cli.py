@@ -36,3 +36,27 @@ def test_cli_resume(tmp_path, capsys):
          "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
     )
     assert "Run Time:" in capsys.readouterr().out
+
+
+def test_cli_multidevice_fast(tmp_path, capsys):
+    # VERDICT r2 item 4: the flagship slab-sharded fast path must be
+    # reachable from the user entry point, incl. checkpoint + resume of
+    # the sharded bucket state (here on the virtual 8-device CPU mesh).
+    ck = str(tmp_path / "ck.npz")
+    main(
+        ["--scenario", "dam2d_flip98", "--path", "fast", "--devices", "4",
+         "--frames", "2", "--substeps", "3", "--out", str(tmp_path),
+         "--no-gif", "--checkpoint-every", "1", "--checkpoint", ck]
+    )
+    out = capsys.readouterr().out
+    assert "Run Time:" in out
+    import os
+    assert os.path.exists(ck)
+    dirs = os.listdir(tmp_path)
+    assert any(d.startswith("mov_") for d in dirs)
+    main(
+        ["--scenario", "dam2d_flip98", "--path", "fast", "--devices", "4",
+         "--frames", "1", "--substeps", "3",
+         "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
+    )
+    assert "Run Time:" in capsys.readouterr().out

@@ -156,3 +156,23 @@ def test_long_horizon_wall_contact_with_rebucket():
     np.testing.assert_allclose(
         x.mean(axis=0), np.asarray(ref.x).mean(axis=0), atol=5e-4
     )
+
+
+def test_tent_kernel_matches_stabilized():
+    # kernel=TENT in the 3D fast path (VERDICT r2 item 10, the last 3D
+    # switch-matrix cell): hat taps in both kernels, C reconstructed as
+    # B D^-1 with the matrix-valued hat-kernel D (see fast3d.substep).
+    from mpm_flip98a_tpu.config import KernelKind
+
+    p, scene = scenes.dam_break_3d(
+        num_grids=16, particles_per_axis=(6, 6, 10), dt=2e-5,
+        dtype=np.float32, kernel=KernelKind.TENT,
+    )
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    b1 = fast3d.run(b, scene, spec, 20)
+    p1 = run_ref(p, scene, 20)
+    np.testing.assert_allclose(
+        _sorted(_dense(b1)), _sorted(np.asarray(p1.x)), atol=1e-6
+    )
+    assert int(b1.overflow) == 0

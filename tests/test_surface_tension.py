@@ -16,9 +16,9 @@ from mpm_flip98a_tpu.models.stabilized import Scene, WallBC, run
 from mpm_flip98a_tpu.state import Particles
 
 
-def _drop_scene(sigma: float):
+def _drop_scene(sigma: float, dtype="float32"):
     cfg = MPMConfig(
-        dtype="float32", num_grids=41, dt=5e-5, surface_tension=sigma
+        dtype=dtype, num_grids=41, dt=5e-5, surface_tension=sigma
     )
     physics = Physics(gravity=0.0)
     l = cfg.domain_length
@@ -27,8 +27,9 @@ def _drop_scene(sigma: float):
     xs = (np.arange(nx) + 0.5) * (w / nx) + 0.5 * (l - w)
     ys = (np.arange(ny) + 0.5) * (h / ny) + 0.5 * (l - h)
     x = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    jdt = jnp.float64 if dtype == "float64" else jnp.float32
     p = Particles.init(
-        jnp.asarray(x, jnp.float32),
+        jnp.asarray(x, jdt),
         volume0=w * h / (nx * ny),
         density=physics.particle_density,
     )
@@ -40,6 +41,7 @@ def _drop_scene(sigma: float):
             dynamic_viscosity=physics.dynamic_viscosity,
         ),
         wall=WallBC("slip"),
+        mass_floor=1e-8 * float(np.min(np.asarray(p.mass))),
     )
     return p, scene
 
@@ -75,3 +77,34 @@ def test_zero_sigma_control_is_static():
     np.testing.assert_allclose(
         np.asarray(out.x), np.asarray(p0.x), atol=1e-6
     )
+
+
+def test_sharded_csf_matches_single_device():
+    # Slab-sharded CSF must match single-device exactly: every radius-1
+    # stage of the derivative chain halo-refreshes its outermost rows and
+    # the normalization maxima ride a pmax (VERDICT r2 item 7; see
+    # models/stabilized._csf_force).  The drop spans several slab
+    # boundaries of the 8-shard mesh.
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel.domain import DomainSpec, distribute, make_run
+
+    p, scene = _drop_scene(sigma=5.0, dtype="float64")
+    mesh = make_mesh(8)
+    spec = DomainSpec.for_particles(scene.cfg, 8, p, headroom=2.0)
+    state, perm = distribute(p, scene, spec, mesh)
+    out = make_run(scene, spec, mesh)(state, 200)
+    ref = run(p, scene, 200)
+    assert int(np.asarray(out.dropped).sum()) == 0
+    x8 = np.asarray(out.particles.x)[perm]
+    np.testing.assert_allclose(x8, np.asarray(ref.x), atol=1e-12)
+
+
+def test_fast_path_rejects_surface_tension():
+    import pytest
+    from mpm_flip98a_tpu.models import fast2d
+
+    p, scene = _drop_scene(sigma=5.0)
+    spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, scene.cfg, spec)
+    with pytest.raises(NotImplementedError):
+        fast2d.substep(b, scene)
