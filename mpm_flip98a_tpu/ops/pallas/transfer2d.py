@@ -109,7 +109,13 @@ def _dot(a, b):
     def d(x, y):
         return jnp.dot(x, y, preferred_element_type=jnp.float32)
 
-    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+    # The two b_hi passes ride ONE M-stacked dot: every kernel call here
+    # has M (= A rows) well under the 128-row MXU tile, so three separate
+    # dots pay 3x the M-padding while [a_hi; a_lo] @ b_hi pays it once
+    # (measured: -7% on the 2D substep at 1M/513^2).
+    m = a.shape[0]
+    o = d(jnp.concatenate([a_hi, a_lo], axis=0), b_hi)
+    return (o[:m] + o[m:]) + d(a_hi, b_lo)
 
 
 def _axis_weights(fx):
@@ -134,6 +140,21 @@ def _axis_weights_tent(fx):
 
 def _taps(fx, tent: bool):
     return _axis_weights_tent(fx) if tent else _axis_weights(fx)
+
+
+def _col_weights(d, tent: bool):
+    """Column weight as an arithmetic function of the signed cell distance
+    d = col - gx1 (no compare/selects): the quadratic B-spline is
+    0.5 (1.5-|d|)+^2 - 1.5 (0.5-|d|)+^2 (identical piecewise values to
+    `_axis_weights`, support exactly the 3 stencil columns), the tent is
+    (1-|d|)+.  Replaces the 3x compare-select one-hot build — fewer (K, G)
+    VPU ops, and algebraically the same weights both kernels consume."""
+    a = jnp.abs(d)
+    if tent:
+        return jnp.maximum(1.0 - a, 0.0)
+    t1 = jnp.maximum(1.5 - a, 0.0)
+    t2 = jnp.maximum(0.5 - a, 0.0)
+    return 0.5 * t1 * t1 - 1.5 * t2 * t2
 
 
 def _row_weights(rel, w0, valid, t):
@@ -196,62 +217,59 @@ def _p2g_core(
     fx0 = gx0 - base0
     w0 = _taps(fx0, tent)
 
-    base1 = jnp.floor(gx1 - 0.5)
-    fx1 = gx1 - base1
-    w1 = _taps(fx1, tent)
-
-    # Column one-hot weight matrix (K, G).  The column-affine term keeps
-    # the rank-1 fold (A2 @ (W (c - gx1)) = (A2 @ W) c - (A2 gx1) @ W):
-    # one big matmul amortises better than a second small W2 product at
-    # 2D's G = 512 widths (measured: a W2 variant lost 10% end-to-end).
-    # PIC configs skip the P-affine rows entirely (they are zero).
+    # Column weight matrix (K, G), arithmetic build — see _col_weights.
+    # The column-affine term keeps the rank-1 fold
+    # (A2 @ (W (c - gx1)) = (A2 @ W) c - (A2 gx1) @ W): one big matmul
+    # amortises better than a second small W2 product at 2D's G = 512
+    # widths (measured: a W2 variant lost 10% end-to-end).  PIC configs
+    # skip the P-affine rows entirely (they are zero).
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, g), 1).astype(jnp.float32)
-    w_mat = jnp.zeros((k, g), jnp.float32)
-    for c in range(3):
-        w_mat = w_mat + jnp.where(cols == base1[:, None] + c, w1[c][:, None], 0.0)
+    w_mat = _col_weights(cols - gx1[:, None], tent)
 
     na2 = 4 if apic else 2  # column-linear rows: (P01, P11,) Q01, Q11
     arows = nch + 2 * na2
+    aoff = 0 if apic else 2  # first momentum row carrying an rdp term
 
-    rows = []
+    # A is built blockwise: U (arows, K) is the rdp-independent factor,
+    # Vaff (na2, K) the rdp coefficient of the affine momentum rows —
+    # A_t = wr_t * U with wr_t * rdp_t * Vaff added on rows
+    # [aoff, aoff + na2).  Two fused (rows, K) ops per target row instead
+    # of ~arows separate (K,) row builds + a 45-way stack (the per-row
+    # version dominated the kernel's VPU time — docs/PERF.md round-3).
+    if apic:
+        vaff = jnp.stack([p_aff[0], p_aff[2], q_aff[0], q_aff[2]])
+        a2 = jnp.stack([p_aff[1], p_aff[3], q_aff[1], q_aff[3]]) * dx
+    else:
+        vaff = jnp.stack([q_aff[0], q_aff[2]])
+        a2 = jnp.stack([q_aff[1], q_aff[3]]) * dx
+    u = jnp.concatenate(
+        [jnp.stack([mv[0], mv[1], mv[0], mv[1]] + list(plain)), a2, a2 * gx1[None, :]]
+    )  # (arows, K)
+
+    blocks = []
     for t in range(NT):
         wr = _row_weights(rel, w0, valid, t)
         rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
-        # Momentum channels (affine) + plain channels.
-        if apic:
-            rows.append(wr * (mv[0] + p_aff[0] * rdp))
-            rows.append(wr * (mv[1] + p_aff[2] * rdp))
-        else:
-            rows.append(wr * mv[0])
-            rows.append(wr * mv[1])
-        rows.append(wr * (mv[0] + q_aff[0] * rdp))
-        rows.append(wr * (mv[1] + q_aff[2] * rdp))
-        rows.extend(wr * v for v in plain)
-        # Column-linear rows (coefficient of (c - gx1) * dx).
-        if apic:
-            a2 = (wr * p_aff[1] * dx, wr * p_aff[3] * dx,
-                  wr * q_aff[1] * dx, wr * q_aff[3] * dx)
-        else:
-            a2 = (wr * q_aff[1] * dx, wr * q_aff[3] * dx)
-        rows.extend(a2)
-        rows.extend(a * gx1 for a in a2)
-
-    a_mat = jnp.stack(rows)  # (NT * arows, K)
+        at = wr[None, :] * u
+        at_aff = at[aoff : aoff + na2] + (wr * rdp)[None, :] * vaff
+        parts = [at[:aoff], at_aff, at[aoff + na2 :]]
+        blocks.append(jnp.concatenate([p for p in parts if p.shape[0]], axis=0))
+    a_mat = jnp.concatenate(blocks, axis=0)  # (NT * arows, K)
     o = _dot(a_mat, w_mat)
 
+    # Vectorized epilogue: fold the rank-1 column-affine correction rows
+    # into the momentum channels blockwise and accumulate one (nch, G)
+    # slab per target row — (1, G) row ops use 1/8 of the VPU sublanes.
     colv = cols[0:1, :]  # (1, G) column index as f32
     for t in range(NT):
         b = t * arows
-        for ch in range(nch):
-            val = o[b + ch : b + ch + 1, :]
-            cl = ch if apic else ch - 2  # column-linear row for this channel
-            if (apic and ch < 4) or (not apic and 2 <= ch < 4):
-                val = (
-                    val
-                    + o[b + nch + cl : b + nch + 1 + cl, :] * colv
-                    - o[b + nch + na2 + cl : b + nch + na2 + 1 + cl, :]
-                )
-            out_ref[0, t, ch, :] += val[0]
+        main = o[b : b + nch]
+        lin = o[b + nch : b + nch + na2]
+        lingx = o[b + nch + na2 : b + arows]
+        corr = lin * colv - lingx
+        parts = [main[:aoff], main[aoff : aoff + na2] + corr, main[aoff + na2 :]]
+        upd = jnp.concatenate([p for p in parts if p.shape[0]], axis=0)
+        out_ref[0, t] += upd
 
 
 def _chunk(k: int) -> int:
@@ -475,18 +493,13 @@ def _g2p_chunk(
     valid = mask * ((rel >= -1.0) & (rel <= 1.0)).astype(jnp.float32)
     fx0 = gx0 - base0
     w0 = _taps(fx0, tent)
-    base1 = jnp.floor(gx1 - 0.5)
-    fx1 = gx1 - base1
-    w1 = _taps(fx1, tent)
 
-    # Transposed one-hot weights (G, K): grid columns on sublanes, particle
-    # slots on lanes — the result S then has channels on sublanes, so every
-    # extract below is a cheap row slice (lane slicing would force
-    # relayouts; measured 10x slower).
+    # Transposed column weights (G, K), arithmetic build (_col_weights):
+    # grid columns on sublanes, particle slots on lanes — the result S then
+    # has channels on sublanes, so every extract below is a cheap row slice
+    # (lane slicing would force relayouts; measured 10x slower).
     rows_io = jax.lax.broadcasted_iota(jnp.int32, (g, k), 0).astype(jnp.float32)
-    w_t = jnp.zeros((g, k), jnp.float32)
-    for c in range(3):
-        w_t = w_t + jnp.where(rows_io == base1[None, :] + c, w1[c][None, :], 0.0)
+    w_t = _col_weights(rows_io - gx1[None, :], tent)
 
     # Grid rows for the 5 candidate targets, channels-leading: each
     # (gch, G); only the v_new rows need the column-weighted variant
@@ -502,25 +515,29 @@ def _g2p_chunk(
 
     s = _dot(gboth, w_t)
 
-    vpic = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
-    vold = [jnp.zeros((k,), jnp.float32) for _ in range(2)]
-    c_out = [jnp.zeros((k,), jnp.float32) for _ in range(4)]
-    n_extra = gch - G2P_CH
-    extra = [jnp.zeros((k,), jnp.float32) for _ in range(n_extra)]
+    # Blockwise target-row accumulation ((nb, K) FMAs instead of ~80
+    # single-sublane row ops — docs/PERF.md round-3).  sum1 carries the
+    # plain wr-weighted sums of every gather channel; sum2 the wr*rdp
+    # sums of the two v_new channels (the C row term).  The C column term
+    # factors out of the t-sum: sum_t wr (svc - gx1 sv) = sum1[gch + a]
+    # - gx1 * sum1[a].
+    nb = gch + 2
+    sum1 = jnp.zeros((nb, k), jnp.float32)
+    sum2 = jnp.zeros((2, k), jnp.float32)
     for t in range(NT):
         wr = _row_weights(rel, w0, valid, t)
         rdp = (i.astype(jnp.float32) + float(t - 1) - gx0) * dx
-        b = (gch + 2) * t
-        for a in range(2):
-            sv = s[b + a]
-            svc = s[b + gch + a]
-            colg = (svc - gx1 * sv) * dx
-            vpic[a] = vpic[a] + wr * sv
-            vold[a] = vold[a] + wr * s[b + 2 + a]
-            c_out[2 * a] = c_out[2 * a] + dinv * wr * rdp * sv
-            c_out[2 * a + 1] = c_out[2 * a + 1] + dinv * wr * colg
-        for e in range(n_extra):
-            extra[e] = extra[e] + wr * s[b + 4 + e]
+        b = nb * t
+        sum1 = sum1 + wr[None, :] * s[b : b + nb]
+        sum2 = sum2 + (wr * rdp)[None, :] * s[b : b + 2]
+    vpic = [sum1[0], sum1[1]]
+    vold = [sum1[2], sum1[3]]
+    n_extra = gch - G2P_CH
+    extra = [sum1[4 + e] for e in range(n_extra)]
+    c_out = []
+    for a in range(2):
+        c_out.append(dinv * sum2[a])
+        c_out.append(dinv * dx * (sum1[gch + a] - gx1 * sum1[a]))
 
     if update:
         # Fused particle update (FLIP blend, advection, J) — no

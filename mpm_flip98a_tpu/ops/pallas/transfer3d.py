@@ -62,7 +62,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpm_flip98a_tpu.ops.pallas.transfer2d import _axis_weights, _dot, _interpret, _row_weights, _taps
+from mpm_flip98a_tpu.ops.pallas.transfer2d import (
+    _axis_weights,
+    _col_weights,
+    _dot,
+    _interpret,
+    _row_weights,
+    _taps,
+)
 
 NT = 5
 P2G_CH = 7            # mv_pure(3), mv_forced(3), m
@@ -72,15 +79,6 @@ G2P_CH_EXT = 9        # + Jbar, p, div
 G2P_OUT = 15          # vpic(3), v0g(3), C(9)
 G2P_OUT_EXT = 18      # + jbar, p, div
 G2P_UPD = 16          # fused-update mode: x(3), v(3), C(9), J
-
-
-def _onehot_w(base2, w2, k, g2, col0=0):
-    """One-hot column weights for columns [col0, col0 + g2)."""
-    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (k, g2), 1).astype(jnp.float32)
-    w_mat = jnp.zeros((k, g2), jnp.float32)
-    for c in range(3):
-        w_mat = w_mat + jnp.where(cols == base2[:, None] + c, w2[c][:, None], 0.0)
-    return w_mat
 
 
 def _batch1(r1: int) -> int:
@@ -225,7 +223,6 @@ def _p2g3d_chunk(
 
     base0 = jnp.floor(gx0 - 0.5)
     base1 = jnp.floor(gx1 - 0.5)
-    base2 = jnp.floor(gx2 - 0.5)
     rel0 = base0 - i0.astype(jnp.float32)
     rel1 = base1 - i1
     valid = (
@@ -233,12 +230,15 @@ def _p2g3d_chunk(
     ).astype(jnp.float32)
     w0 = _taps(gx0 - base0, tent)
     w1 = _taps(gx1 - base1, tent)
-    w2 = _taps(gx2 - base2, tent)
 
+    # Arithmetic column weights (transfer2d._col_weights) — no one-hot
+    # compare-selects, and the signed distance is shared with the W2
+    # (z-column affine) matrix.
     col0 = tz * g2t
-    w_mat = _onehot_w(base2, w2, kc, g2t, col0)
     colv = col0 + jax.lax.broadcasted_iota(jnp.int32, (kc, g2t), 1).astype(jnp.float32)
-    w_mat2 = w_mat * ((colv - gx2[:, None]) * dx)
+    dcol = colv - gx2[:, None]
+    w_mat = _col_weights(dcol, tent)
+    w_mat2 = w_mat * (dcol * dx)
 
     wr0 = [_row_weights(rel0, w0, valid, t) for t in range(NT)]
     wr1 = [_row_weights(rel1, w1, jnp.ones_like(valid), t) for t in range(NT)]
@@ -247,28 +247,51 @@ def _p2g3d_chunk(
 
     nch = P2G_CH_EXT if ext else P2G_CH
     na2 = 6 if apic else 3
-    rows1 = []
-    rows2 = []
+    # Blockwise A build (same restructure as transfer2d._p2g_core): the
+    # rdp-independent factor U and the two drift-direction coefficient
+    # blocks V0/V1 are assembled once per chunk; each target pair is then
+    # wr * (U + rdp0 V0 + rdp1 V1) on the affine rows — three fused
+    # (rows, K) ops instead of ~10 per-row (K,) builds and a 175-way
+    # stack.
+    naff = 6 if apic else 3
+    aoff = 0 if apic else 3
+    if apic:
+        u_aff = jnp.stack([mv[0], mv[1], mv[2], mv[0], mv[1], mv[2]])
+        v0_aff = jnp.stack([p_aff[0], p_aff[3], p_aff[6],
+                            q_aff[0], q_aff[3], q_aff[6]])
+        v1_aff = jnp.stack([p_aff[1], p_aff[4], p_aff[7],
+                            q_aff[1], q_aff[4], q_aff[7]])
+        w2rows = jnp.stack([p_aff[2], p_aff[5], p_aff[8],
+                            q_aff[2], q_aff[5], q_aff[8]])
+    else:
+        u_aff = jnp.stack([mv[0], mv[1], mv[2]])
+        v0_aff = jnp.stack([q_aff[0], q_aff[3], q_aff[6]])
+        v1_aff = jnp.stack([q_aff[1], q_aff[4], q_aff[7]])
+        w2rows = jnp.stack([q_aff[2], q_aff[5], q_aff[8]])
+    u_plain = jnp.stack([mv[0], mv[1], mv[2], mass] + list(extras)) if not apic \
+        else jnp.stack([mass] + list(extras))
+
+    blocks1 = []
+    blocks2 = []
     for t0 in range(NT):
         for t1 in range(NT):
             wr = wr0[t0] * wr1[t1]
-            for a in range(3):  # pure momentum (no force)
-                base = mv[a]
-                if apic:
-                    base = base + p_aff[3 * a] * rdp0[t0] + p_aff[3 * a + 1] * rdp1[t1]
-                rows1.append(wr * base)
-            for a in range(3):  # forced momentum
-                rows1.append(
-                    wr * (mv[a] + q_aff[3 * a] * rdp0[t0] + q_aff[3 * a + 1] * rdp1[t1])
-                )
-            rows1.append(wr * mass)
-            rows1.extend(wr * e for e in extras)
+            a_aff = wr[None, :] * (
+                u_aff + rdp0[t0][None, :] * v0_aff + rdp1[t1][None, :] * v1_aff
+            )
+            a_plain = wr[None, :] * u_plain
             if apic:
-                rows2.extend(wr * p_aff[3 * a + 2] for a in range(3))
-            rows2.extend(wr * q_aff[3 * a + 2] for a in range(3))
+                blocks1.append(jnp.concatenate([a_aff, a_plain], axis=0))
+            else:
+                # PIC row order: pure momentum (no affine), forced
+                # momentum (affine), mass/extras.
+                blocks1.append(
+                    jnp.concatenate([a_plain[:3], a_aff, a_plain[3:]], axis=0)
+                )
+            blocks2.append(wr[None, :] * w2rows)
 
-    o1 = _dot(jnp.stack(rows1), w_mat)
-    o2 = _dot(jnp.stack(rows2), w_mat2)
+    o1 = _dot(jnp.concatenate(blocks1, axis=0), w_mat)
+    o2 = _dot(jnp.concatenate(blocks2, axis=0), w_mat2)
 
     zpad = jnp.zeros((nch - 6, o1.shape[1]), jnp.float32)
     z3 = jnp.zeros((3, o1.shape[1]), jnp.float32)
@@ -479,7 +502,6 @@ def _g2p3d_chunk(
     mask = refs[3][0, b, sl]
     base0 = jnp.floor(gx0 - 0.5)
     base1 = jnp.floor(gx1 - 0.5)
-    base2 = jnp.floor(gx2 - 0.5)
     rel0 = base0 - i0.astype(jnp.float32)
     rel1 = base1 - i1
     valid = mask * (
@@ -487,14 +509,13 @@ def _g2p3d_chunk(
     ).astype(jnp.float32)
     w0 = _taps(gx0 - base0, tent)
     w1 = _taps(gx1 - base1, tent)
-    w2 = _taps(gx2 - base2, tent)
 
-    # Transposed one-hot (G2, K): channels land on sublanes after the dot.
+    # Transposed arithmetic column weights (G2, K): channels land on
+    # sublanes after the dot; the signed distance is shared with W2.
     rows_io = jax.lax.broadcasted_iota(jnp.int32, (g2, kc), 0).astype(jnp.float32)
-    w_t = jnp.zeros((g2, kc), jnp.float32)
-    for c in range(3):
-        w_t = w_t + jnp.where(rows_io == base2[None, :] + c, w2[c][None, :], 0.0)
-    w_t2 = w_t * ((rows_io - gx2[None, :]) * dx)
+    dcol = rows_io - gx2[None, :]
+    w_t = _col_weights(dcol, tent)
+    w_t2 = w_t * (dcol * dx)
 
     gch = G2P_CH_EXT if ext else G2P_CH
     gs1 = []
@@ -511,26 +532,35 @@ def _g2p3d_chunk(
     rdp0 = [(i0.astype(jnp.float32) + float(t - 1) - gx0) * dx for t in range(NT)]
     rdp1 = [(i1 + float(t - 1) - gx1) * dx for t in range(NT)]
 
-    vpic = [jnp.zeros((kc,), jnp.float32) for _ in range(3)]
-    vold = [jnp.zeros((kc,), jnp.float32) for _ in range(3)]
-    c_out = [jnp.zeros((kc,), jnp.float32) for _ in range(9)]
+    # Blockwise pair accumulation ((gch, K) FMAs instead of per-channel
+    # (K,) ops — same restructure as transfer2d's G2P epilogue): sum1
+    # carries the plain wr-weighted sums of every gather channel, sumA/B
+    # the wr*rdp0 / wr*rdp1 weighted sums of the three v_new channels
+    # (the two in-plane C terms), sumC the z-column (W2) term.
     n_extra = gch - G2P_CH
-    extra = [jnp.zeros((kc,), jnp.float32) for _ in range(n_extra)]
+    sum1 = jnp.zeros((gch, kc), jnp.float32)
+    sum_a = jnp.zeros((3, kc), jnp.float32)
+    sum_b = jnp.zeros((3, kc), jnp.float32)
+    sum_c = jnp.zeros((3, kc), jnp.float32)
     for t0 in range(NT):
         for t1 in range(NT):
             pr = t0 * NT + t1
             wr = wr0[t0] * wr1[t1]
             b1o = pr * gch
             b2o = pr * 3
-            for a in range(3):
-                sv = s1[b1o + a]
-                vpic[a] = vpic[a] + wr * sv
-                vold[a] = vold[a] + wr * s1[b1o + 3 + a]
-                c_out[3 * a] = c_out[3 * a] + dinv * wr * rdp0[t0] * sv
-                c_out[3 * a + 1] = c_out[3 * a + 1] + dinv * wr * rdp1[t1] * sv
-                c_out[3 * a + 2] = c_out[3 * a + 2] + dinv * wr * s2[b2o + a]
-            for e in range(n_extra):
-                extra[e] = extra[e] + wr * s1[b1o + 6 + e]
+            sv3 = s1[b1o : b1o + 3]
+            sum1 = sum1 + wr[None, :] * s1[b1o : b1o + gch]
+            sum_a = sum_a + (wr * rdp0[t0])[None, :] * sv3
+            sum_b = sum_b + (wr * rdp1[t1])[None, :] * sv3
+            sum_c = sum_c + wr[None, :] * s2[b2o : b2o + 3]
+    vpic = [sum1[a] for a in range(3)]
+    vold = [sum1[3 + a] for a in range(3)]
+    extra = [sum1[6 + e] for e in range(n_extra)]
+    c_out = []
+    for a in range(3):
+        c_out.append(dinv * sum_a[a])
+        c_out.append(dinv * sum_b[a])
+        c_out.append(dinv * sum_c[a])
 
     if update:
         # Fused particle update: FLIP blend, advection, and the volumetric
