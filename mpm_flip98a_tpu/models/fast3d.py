@@ -185,29 +185,32 @@ def to_host(b: FluidBuckets3D) -> dict:
     return out
 
 
-def _axis_bands(cfg: MPMConfig, row_index0=None):
+def _axis_bands(cfg: MPMConfig, row_index0=None, row_index1=None):
     """(low, high) wall-band masks per axis, broadcastable against the
     channel-layout grid (G0, G1, ch, G2) — same node sets as
     models/stabilized._apply_wall_bc (box faces at PAD / G-1-PAD).
-    `row_index0` carries GLOBAL axis-0 node indices for a slab-local
-    buffer (parallel/fast_domain3d.py)."""
+    `row_index0` / `row_index1` carry GLOBAL axis-0/1 node indices for a
+    slab-local buffer (parallel/fast_domain3d.py)."""
     g = cfg.num_grids
     lo, hi = int(PAD), g - 1 - int(PAD)
     idx = jnp.arange(g)
     idx0 = idx if row_index0 is None else row_index0
+    idx1 = idx if row_index1 is None else row_index1
     n0 = idx0.shape[0]
-    out = [
-        ((idx0 <= lo).reshape(n0, 1, 1, 1), (idx0 >= hi).reshape(n0, 1, 1, 1))
+    n1 = idx1.shape[0]
+    return [
+        ((idx0 <= lo).reshape(n0, 1, 1, 1), (idx0 >= hi).reshape(n0, 1, 1, 1)),
+        ((idx1 <= lo).reshape(1, n1, 1, 1), (idx1 >= hi).reshape(1, n1, 1, 1)),
+        ((idx <= lo).reshape(1, 1, 1, g), (idx >= hi).reshape(1, 1, 1, g)),
     ]
-    for s in [(1, g, 1, 1), (1, 1, 1, g)]:
-        out.append(((idx <= lo).reshape(s), (idx >= hi).reshape(s)))
-    return out
 
 
-def _wall_bc_ch(v: jax.Array, cfg: MPMConfig, wall, row_index0=None) -> jax.Array:
+def _wall_bc_ch(
+    v: jax.Array, cfg: MPMConfig, wall, row_index0=None, row_index1=None
+) -> jax.Array:
     """Slip/sticky walls on a channel-layout velocity grid (G0, G1, 3, G2);
     semantics identical to models/stabilized._apply_wall_bc."""
-    bands = _axis_bands(cfg, row_index0)
+    bands = _axis_bands(cfg, row_index0, row_index1)
     if wall.kind == "sticky":
         anyband = jnp.zeros((), jnp.bool_)
         for low, high in bands:
@@ -222,14 +225,17 @@ def _wall_bc_ch(v: jax.Array, cfg: MPMConfig, wall, row_index0=None) -> jax.Arra
     return jnp.concatenate(parts, axis=2)
 
 
-def _wall_normal_diag_ch(cfg: MPMConfig, row_index0=None) -> jax.Array:
+def _wall_normal_diag_ch(
+    cfg: MPMConfig, row_index0=None, row_index1=None
+) -> jax.Array:
     """sum_walls n (x) n diagonal in channel layout (G0, G1, 3, G2);
     semantics identical to models/stabilized._wall_normal_diag."""
     g = cfg.num_grids
-    bands = _axis_bands(cfg, row_index0)
+    bands = _axis_bands(cfg, row_index0, row_index1)
     n0 = bands[0][0].shape[0]
+    n1 = bands[1][0].shape[1]
     diag = [
-        jnp.broadcast_to((low | high), (n0, g, 1, g)).astype(jnp.float32)
+        jnp.broadcast_to((low | high), (n0, n1, 1, g)).astype(jnp.float32)
         for low, high in bands
     ]
     return jnp.concatenate(diag, axis=2)
@@ -270,7 +276,9 @@ def _polar3d_rows(F, iters: int = 12):
     return r
 
 
-def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax.Array:
+def _grid_update(
+    gs: jax.Array, scene: Scene, ext: bool, row_index0=None, row_index1=None
+) -> jax.Array:
     """Grid momentum update on the fold's (G0, G1, nch, G2) layout —
     transpose-free (fold_rows0 already emits the G2P grid layout; the
     moveaxis-based version cost ~30 ms/substep at 256^3)."""
@@ -299,7 +307,7 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax
         # Implicit normal-velocity penalty, diagonal for the axis-aligned
         # box (same formulation as models/stabilized.py / fast2d.py).
         beta = jnp.float32(cfg.penalty_parameter(scene.physics))
-        pen = _wall_normal_diag_ch(cfg, row_index0)  # (G0, G1, 3, G2)
+        pen = _wall_normal_diag_ch(cfg, row_index0, row_index1)  # (G0, G1, 3, G2)
         rhs = gs[:, :, 3:6] + dt * g_m[:, :, None] * gravc
         v_new = jnp.where(
             hc, rhs / (g_m[:, :, None] + dt * beta * pen), 0.0
@@ -307,7 +315,7 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax
     else:
         vng = jnp.where(hc, gs[:, :, 3:6] / safe[:, :, None], 0.0)
         vng = vng + dt * gravc * hc.astype(jnp.float32)
-        v_new = _wall_bc_ch(vng, cfg, scene.wall, row_index0)
+        v_new = _wall_bc_ch(vng, cfg, scene.wall, row_index0, row_index1)
     gparts = [v_new, v0g]
     if ext:
         v0sum = gs[:, :, 8]
@@ -329,6 +337,7 @@ def _grid_update(gs: jax.Array, scene: Scene, ext: bool, row_index0=None) -> jax
 def _finish_substep(
     b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts,
     gxs, domain=None, x0k=None, x0_shift=None, row_index0=None,
+    x1k=None, x1_shift=None, row_index1=None,
 ) -> FluidBuckets3D:
     """Fused tail of the single-fluid substep: grid update + the
     update-mode G2P (FLIP blend / advect / J update in-kernel)."""
@@ -337,26 +346,32 @@ def _finish_substep(
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
     if x0k is None:
         x0k = b.x0
+    if x1k is None:
+        x1k = b.x1
     if domain is not None:
         gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
     else:
         gs = tk3.fold_rows0(expanded)
-    grid_ch = _grid_update(gs, scene, ext=False, row_index0=row_index0)
+    grid_ch = _grid_update(
+        gs, scene, ext=False, row_index0=row_index0, row_index1=row_index1
+    )
     shaped = lambda a: a.reshape(r0, r1, k)
     out = tk3.g2p3d(
         *gxs, shaped(b.mask),
         counts, grid_ch, float(cfg.dx), dinv,
         state=(
             shaped(b.v0), shaped(b.v1), shaped(b.v2), shaped(b.J),
-            shaped(x0k), shaped(b.x1), shaped(b.x2),
+            shaped(x0k), shaped(x1k), shaped(b.x2),
         ),
         alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
         prepadded0=domain is not None,
+        prepadded1=x1_shift is not None,
     ).reshape(r0 * r1, tk3.G2P_UPD, k)
     x0_new = out[:, 0] if x0_shift is None else out[:, 0] + x0_shift
+    x1_new = out[:, 1] if x1_shift is None else out[:, 1] + x1_shift
     return dataclasses.replace(
         b,
-        x0=x0_new, x1=out[:, 1], x2=out[:, 2],
+        x0=x0_new, x1=x1_new, x2=out[:, 2],
         v0=out[:, 3], v1=out[:, 4], v2=out[:, 5],
         C00=out[:, 6], C01=out[:, 7], C02=out[:, 8],
         C10=out[:, 9], C11=out[:, 10], C12=out[:, 11],
@@ -389,7 +404,7 @@ def substep(
         # bucket rows locally, so shift positions by the slab origin; the
         # fused G2P advects the SHIFTED x0 and the caller's origin is
         # added back exactly (dead slots: (0 - a) + a == 0 in fp).
-        lo = jax.lax.axis_index(domain.axis) * r0
+        lo = jax.lax.axis_index(domain.axis0) * r0
         x0_shift = lo.astype(jnp.float32) * jnp.float32(dx)
         x0k = b.x0 - x0_shift
         row_index0 = lo - 1 + jnp.arange(r0 + 4)
@@ -397,6 +412,20 @@ def substep(
         x0_shift = None
         x0k = b.x0
         row_index0 = None
+    if domain is not None and domain.axis1 is not None:
+        # Two-axis decomposition (slabs x pencil columns): axis 1 is also
+        # a local window — same shift/halo treatment as axis 0, and the
+        # P2G emits the axis-1 halo plane (transfer3d halo1 mode).
+        lo1 = jax.lax.axis_index(domain.axis1) * r1
+        x1_shift = lo1.astype(jnp.float32) * jnp.float32(dx)
+        x1k = b.x1 - x1_shift
+        row_index1 = lo1 - 1 + jnp.arange(r1 + 4)
+        halo1 = True
+    else:
+        x1_shift = None
+        x1k = b.x1
+        row_index1 = None
+        halo1 = False
 
     cmat = [[getattr(b, f"C{a}{c}") for c in range(3)] for a in range(3)]
     fmat = [getattr(b, f"F{a}{c}") for a in range(3) for c in range(3)]
@@ -410,7 +439,7 @@ def substep(
     invf, padf = jnp.float32(cfg.inv_dx), jnp.float32(PAD)
     gxs = (
         shaped(x0k * invf + padf),
-        shaped(b.x1 * invf + padf),
+        shaped(x1k * invf + padf),
         shaped(b.x2 * invf + padf),
     )
 
@@ -438,16 +467,17 @@ def substep(
         )
         eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
         expanded = tk3.p2g3d(
-            fields, counts, g, g, dx,
+            fields, counts, r1, g, dx,
             apic=apic, stress=eos_name,
             kb=float(scene.params.bulk_modulus),
             mu=float(scene.params.dynamic_viscosity),
             gamma=float(scene.params.tait_gamma),
             fa=float(-cfg.dt * dinv),
+            halo1=halo1,
         )
         return _finish_substep(
             b, scene, spec, expanded, counts, gxs, domain, x0k, x0_shift,
-            row_index0,
+            row_index0, x1k, x1_shift, row_index1,
         )
     # Semi-implicit lag correction on the fused nodal averages (see
     # fast2d.substep: advance by the known local rates; div = tr C).
@@ -558,19 +588,21 @@ def substep(
     )
 
     # ---- P2G + grid update ---------------------------------------------
-    expanded = tk3.p2g3d(fields, counts, g, g, dx, apic=apic, ext=ext, tent=tent)
+    expanded = tk3.p2g3d(
+        fields, counts, r1, g, dx, apic=apic, ext=ext, tent=tent, halo1=halo1
+    )
     if domain is not None:
         gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
     else:
         gs = tk3.fold_rows0(expanded)
-    grid_ch = _grid_update(gs, scene, ext, row_index0)  # (G0, G1, gch, G2)
+    grid_ch = _grid_update(gs, scene, ext, row_index0, row_index1)
 
     # ---- G2P ------------------------------------------------------------
     nout = tk3.G2P_OUT_EXT if ext else tk3.G2P_OUT
     out = tk3.g2p3d(
         *gxs, shaped(b.mask),
         counts, grid_ch, dx, 1.0 if tent else dinv, ext=ext,
-        prepadded0=domain is not None, tent=tent,
+        prepadded0=domain is not None, prepadded1=halo1, tent=tent,
     ).reshape(r0 * r1, nout, spec.capacity)
     vpic = [out[:, a] for a in range(3)]
     vold = [out[:, 3 + a] for a in range(3)]
@@ -685,12 +717,12 @@ def substep(
 
 
 def _needs_rebucket(
-    b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D, row0=0
+    b: FluidBuckets3D, cfg: MPMConfig, spec: FastSpec3D, row0=0, row1=0
 ) -> jax.Array:
     s, k = b.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (s, k), 0)
     r0 = (row0 + rows // spec.rows1).astype(jnp.float32)
-    r1 = (rows % spec.rows1).astype(jnp.float32)
+    r1 = (row1 + rows % spec.rows1).astype(jnp.float32)
     gx0 = b.x0 * jnp.float32(cfg.inv_dx) + jnp.float32(PAD)
     gx1 = b.x1 * jnp.float32(cfg.inv_dx) + jnp.float32(PAD)
     d0 = jnp.where(b.mask > 0, gx0 - 0.5 - r0, 0.5)

@@ -122,6 +122,7 @@ def _p2g3d_kernel(
     gamma: float,
     fa: float,
     tent: bool,
+    halo1: bool,
 ):
     out_ref = refs[-1]
     in_refs = refs[:-1]
@@ -150,7 +151,7 @@ def _p2g3d_kernel(
                     in_refs, out_ref, i0, i1, tz, b, q,
                     g1=g1, g2t=g2t, dx=dx, kc=kc,
                     apic=apic, ext=ext, stress=stress, kb=kb, mu=mu,
-                    gamma=gamma, fa=fa, tent=tent,
+                    gamma=gamma, fa=fa, tent=tent, halo1=halo1,
                 )
         return carry
 
@@ -166,7 +167,7 @@ def _take_row(block, b):
 
 def _p2g3d_chunk(
     refs, out_ref, i0, i1, tz, b, q,
-    *, g1, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa, tent,
+    *, g1, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa, tent, halo1,
 ):
     sl = slice(q * kc, (q + 1) * kc)
     ld = lambda ix: _take_row(refs[ix][0], b)[sl]
@@ -295,32 +296,40 @@ def _p2g3d_chunk(
 
     zpad = jnp.zeros((nch - 6, o1.shape[1]), jnp.float32)
     z3 = jnp.zeros((3, o1.shape[1]), jnp.float32)
+
+    def pair_val(t0, t1):
+        pr = t0 * NT + t1
+        b1o = pr * nch
+        b2o = pr * na2
+        # One (nch, G2T) accumulate per target pair: the z-column matmul
+        # rows add onto the momentum channels (pure+forced for APIC,
+        # forced only for PIC).
+        add2 = o2[b2o : b2o + na2, :]
+        if not apic:
+            add2 = jnp.concatenate([z3, add2], axis=0)
+        return o1[b1o : b1o + nch, :] + jnp.concatenate([add2, zpad], axis=0)
+
     for t0 in range(NT):
         for t1 in range(NT):
-            row = i1 + (t1 - 1)
+            if halo1:
+                # Axis-1 sharded: the output plane carries the axis-1 halo
+                # (plane row j = target row j - 1, like the axis-0
+                # expansion), so edge writes land in the halo instead of
+                # being dropped and every target index is in range.
+                out_ref[0, t0, pl.ds(i1 + t1, 1), :, :] += pair_val(t0, t1)[None]
+            else:
+                row = i1 + (t1 - 1)
 
-            @pl.when((row >= 0) & (row < g1))
-            def _(row=row, t0=t0, t1=t1):
-                pr = t0 * NT + t1
-                b1o = pr * nch
-                b2o = pr * na2
-                # One (nch, G2T) accumulate per target pair: the z-column
-                # matmul rows add onto the momentum channels (pure+forced
-                # for APIC, forced only for PIC).
-                add2 = o2[b2o : b2o + na2, :]
-                if not apic:
-                    add2 = jnp.concatenate([z3, add2], axis=0)
-                val = o1[b1o : b1o + nch, :] + jnp.concatenate(
-                    [add2, zpad], axis=0
-                )
-                out_ref[0, t0, pl.ds(row, 1), :, :] += val[None]
+                @pl.when((row >= 0) & (row < g1))
+                def _(row=row, t0=t0, t1=t1):
+                    out_ref[0, t0, pl.ds(row, 1), :, :] += pair_val(t0, t1)[None]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "g1", "g2", "dx", "apic", "ext",
-        "stress", "kb", "mu", "gamma", "fa", "tent",
+        "stress", "kb", "mu", "gamma", "fa", "tent", "halo1",
     ),
 )
 def p2g3d(
@@ -337,10 +346,16 @@ def p2g3d(
     gamma: float = 7.0,
     fa: float = 0.0,
     tent: bool = False,
+    halo1: bool = False,
 ) -> jax.Array:
     """fields: tuple of (R0, R1, K) arrays in the P2G channel order above;
     counts (R0*R1,) int32 -> (R0, 5, G1, nch, G2) — grid-row-major so the
-    fold's result is already in the G2P grid layout (no transposes)."""
+    fold's result is already in the G2P grid layout (no transposes).
+
+    halo1=True (axis-1 slab shard, parallel/fast_domain3d.py): the axis-1
+    plane is emitted UNcropped as G1 + 4 rows (plane row j = target row
+    j - 1), so edge writes land in halo rows for the exchange instead of
+    being dropped at the local window boundary."""
     r0, r1, k = fields[0].shape
     nch = P2G_CH_EXT if ext else P2G_CH
     if stress is not None:
@@ -356,9 +371,10 @@ def p2g3d(
     # (~6 MB cap: the kernel body needs ~9 MB of scoped VMEM for its
     # A/W/o temporaries on top — a 9.2 MB untiled block OOMs the 16 MB
     # budget, measured at 256^3).
+    g1out = g1 + NT - 1 if halo1 else g1
     cap_mb = float(__import__("os").environ.get("MPM_P2G3D_BLOCK_MB", "6"))
     n_tz = 1
-    while NT * nch * g1 * (g2 // n_tz) * 4 > cap_mb * 1024 * 1024:
+    while NT * nch * g1out * (g2 // n_tz) * 4 > cap_mb * 1024 * 1024:
         n_tz *= 2
     assert g2 % n_tz == 0, (g2, n_tz)
     g2t = g2 // n_tz
@@ -381,15 +397,16 @@ def p2g3d(
             r1=r1, b1=b1, g1=g1, g2t=g2t,
             dx=dx, kc=kc, apic=apic, ext=ext,
             stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa, tent=tent,
+            halo1=halo1,
         ),
         grid=(r0, n_tz, r1 // b1),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, NT, g1, nch, g2t),
+            (1, NT, g1out, nch, g2t),
             lambda i, tz, gq: (i, 0, 0, 0, tz),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((r0, NT, g1, nch, g2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r0, NT, g1out, nch, g2), jnp.float32),
         interpret=_interpret(),
     )(counts, *fields)
 
@@ -584,7 +601,9 @@ def _g2p3d_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dx", "dinv", "ext", "alpha", "dtv", "prepadded0", "tent"),
+    static_argnames=(
+        "dx", "dinv", "ext", "alpha", "dtv", "prepadded0", "prepadded1", "tent",
+    ),
 )
 def g2p3d(
     gx0: jax.Array,
@@ -600,6 +619,7 @@ def g2p3d(
     alpha: float = 0.0,
     dtv: float = 0.0,
     prepadded0: bool = False,
+    prepadded1: bool = False,
     tent: bool = False,
 ) -> jax.Array:
     """x/mask (R0, R1, K), grid (R0, R1, gch, G2) -> (R0, R1, nout, K).
@@ -615,7 +635,14 @@ def g2p3d(
     assert grid.shape[2] == gch, grid.shape
     g2 = grid.shape[3]
     nout = G2P_UPD if update else (G2P_OUT_EXT if ext else G2P_OUT)
-    if prepadded0:
+    if prepadded1:
+        # Axis-1 halo rows already present (2-axis slab shard buffer,
+        # plane row j = target row j - 1) — axis 0 must be prepadded too.
+        assert prepadded0 and grid.shape[:2] == (r0 + NT - 1, r1 + NT - 1), (
+            grid.shape, r0, r1,
+        )
+        padded = grid
+    elif prepadded0:
         # Axis 0 already carries the +-halo rows (slab shard buffer,
         # row j = target row j - 1); pad axis 1 only.
         assert grid.shape[0] == r0 + NT - 1, (grid.shape, r0)

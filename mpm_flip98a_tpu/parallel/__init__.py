@@ -15,4 +15,4 @@ This package *introduces* the MPM parallelism the TPU build needs:
   (static shapes; SURVEY.md section 2.7).
 """
 
-from mpm_flip98a_tpu.parallel.mesh import make_mesh
+from mpm_flip98a_tpu.parallel.mesh import make_mesh, make_mesh2

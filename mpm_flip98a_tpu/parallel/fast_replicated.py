@@ -1,5 +1,18 @@
 """Multi-chip execution of the Pallas fast path: particle data parallelism.
 
+LEGACY fallback — superseded by the slab-sharded fast paths
+(parallel/fast_domain.py / fast_domain3d.py), which move O(halo) bytes
+per substep instead of this module's O(grid) all-reduce and are the
+production multi-chip path (driver --devices routes them).  Kept for
+two reasons: (a) it is the simplest correct multi-chip reference the
+slab tests compare against conceptually, and (b) for tiny grids with
+huge particle counts the single psum can still win.  Known limitation
+(accepted for a legacy path, round-2 review weak #6): per-shard bucket
+capacity is provisioned from t = 0 occupancy with no re-provisioning —
+a shard whose round-robin share drifts into one grid row can overflow
+where the domain-decomposed paths would rebucket; overflow is counted
+and surfaces through the overflow != 0 invariant, never silently.
+
 Each chip owns a round-robin share of the particles in its own full
 (R, K_local) bucket layout; the per-chip folded grid sums merge with one
 `psum` over ICI and everything else (grid update, G2P, rebucketing) runs
@@ -7,10 +20,7 @@ per chip with zero further communication.  The Pallas kernels are
 unchanged — they run per shard inside `shard_map` on the local K axis.
 
 Communication per substep = one all-reduce of the (ch, G, G) grid sums
-(6 MB at 512^2 fp32) — the right trade while the grid is small relative
-to the particle count; slab-sharding the fast path (grid halos instead of
-an all-reduce) is the follow-up for very large grids, prototyped in
-parallel/domain.py for the general path.
+(6 MB at 512^2 fp32).
 """
 
 from __future__ import annotations

@@ -36,6 +36,16 @@ def test_cli_resume(tmp_path, capsys):
          "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
     )
     assert "Run Time:" in capsys.readouterr().out
+    # The restored frame counter must CONTINUE the numbering: the first
+    # run wrote 00001.png, so the resumed run's single frame is 00002.png
+    # (a --checkpoint-every / frame_count arithmetic regression would
+    # restart at 00001 and still pass a smoke check).
+    resumed_movs = [
+        d for d in os.listdir(tmp_path / "resumed") if d.startswith("mov_")
+    ]
+    assert len(resumed_movs) == 1
+    frames = sorted(os.listdir(tmp_path / "resumed" / resumed_movs[0]))
+    assert frames == ["00002.png"], frames
 
 
 def test_cli_multidevice_fast(tmp_path, capsys):
