@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from mpm_flip98a_tpu.config import EOSKind, KernelKind, MPMConfig, TransferKind
 from mpm_flip98a_tpu.models import materials as mat
-from mpm_flip98a_tpu.models.stabilized import PAD, Scene, _apply_wall_bc
+from mpm_flip98a_tpu.models.stabilized import PAD, Scene
 from mpm_flip98a_tpu.ops import binning
 from mpm_flip98a_tpu.ops.pallas import transfer2d as tk
 from mpm_flip98a_tpu.state import Particles
@@ -185,55 +185,103 @@ def to_host(b: FluidBuckets) -> dict:
     return out
 
 
+def _axis_bands2d(cfg: MPMConfig, nrows: int, row_index0=None):
+    """Wall-band masks broadcastable against dense (R, G) channel planes —
+    same node sets as models/stabilized._apply_wall_bc (box faces at
+    PAD / G-1-PAD).  `row_index0` carries GLOBAL axis-0 node indices for
+    a slab-local buffer (parallel/fast_domain.py)."""
+    g = cfg.num_grids
+    lo, hi = int(PAD), g - 1 - int(PAD)
+    idx0 = jnp.arange(nrows) if row_index0 is None else row_index0
+    idx1 = jnp.arange(g)
+    return (
+        (idx0 <= lo)[:, None], (idx0 >= hi)[:, None],
+        (idx1 <= lo)[None, :], (idx1 >= hi)[None, :],
+    )
+
+
 def _grid_update2d(
     gridsum, scene: Scene, ext: bool, grid_shape, row_index0
 ):
-    """Grid momentum update on the channel-leading (nch, R, G) fold output;
-    returns grid4 (R, gch, G) rows-leading for g2p."""
+    """Grid momentum update on the ROW-LEADING (R, nch, G) fold output;
+    returns grid4 (R, gch, G) for g2p.
+
+    All arithmetic runs on dense per-channel (R, G) planes: channel
+    extraction / the final stack are sublane-axis relayouts (cheap), the
+    elementwise work pays no sublane padding (an (R, 2, G) intermediate
+    pads 2 -> 8 sublanes = 4x traffic), and — unlike the former
+    channel-leading layout — there is no (nch, R, G) <-> (R, nch, G)
+    transpose anywhere in the fold -> update -> g2p tail.  The wall BC
+    acts per channel with (R, 1) / (1, G) band masks instead of the
+    general path's (G, G, 2) trailing layout (64x lane padding)."""
     cfg = scene.cfg
     dt = jnp.float32(cfg.dt)
     from mpm_flip98a_tpu.models.stabilized import _mass_floor
 
-    g_m = gridsum[4]
+    g_m = gridsum[:, 4]                                  # (R, G)
     # Mass floor — see fast3d._grid_update: knife-edge taps leave
     # ~1e-15-mass nodes whose velocity update is fp noise.  Absolute
     # (scene.mass_floor) when available: shard-invariant under shard_map.
     has = g_m > _mass_floor(scene, g_m)
     safe = jnp.where(has, g_m, 1.0)
-    v0g = jnp.where(has, gridsum[0:2] / safe, 0.0)      # pre-force
-    grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
+    v0x = jnp.where(has, gridsum[:, 0] / safe, 0.0)      # pre-force
+    v0y = jnp.where(has, gridsum[:, 1] / safe, 0.0)
+    grav = np.asarray(cfg.gravity_acceleration(scene.physics), np.float32)
+    low0, high0, low1, high1 = _axis_bands2d(cfg, gridsum.shape[0], row_index0)
     if cfg.use_penalty_ebc:
         # Implicit normal-velocity penalty (same formulation as the general
         # path, models/stabilized.py): (m I + dt beta n(x)n) v = m v* + dt m g;
         # the box's penalty matrix is diagonal, so the solve is a divide.
-        from mpm_flip98a_tpu.models.stabilized import _wall_normal_diag
-
+        # The diagonal per channel a is just the axis-a wall band mask.
         beta = jnp.float32(cfg.penalty_parameter(scene.physics))
-        pen = jnp.moveaxis(
-            _wall_normal_diag(cfg, jnp.float32, grid_shape, row_index0), -1, 0
-        )  # (2, G, G) / (2, L + 4, G) on a slab
-        rhs = gridsum[2:4] + dt * g_m[None] * grav[:, None, None]
-        vng = jnp.where(has[None], rhs / (g_m[None] + dt * beta * pen), 0.0)
-        v_new = jnp.moveaxis(vng, 0, -1)
+        pen0 = (low0 | high0).astype(jnp.float32)
+        pen1 = (low1 | high1).astype(jnp.float32)
+        rhs_x = gridsum[:, 2] + (dt * grav[0]) * g_m
+        rhs_y = gridsum[:, 3] + (dt * grav[1]) * g_m
+        vx = jnp.where(has, rhs_x / (g_m + (dt * beta) * pen0), 0.0)
+        vy = jnp.where(has, rhs_y / (g_m + (dt * beta) * pen1), 0.0)
     else:
-        vng = jnp.where(has, gridsum[2:4] / safe, 0.0)
-        vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
-        # Wall BCs operate on the (G, G, 2) trailing layout.
-        v_new = _apply_wall_bc(
-            jnp.moveaxis(vng, 0, -1), cfg, scene.wall, grid_shape, row_index0
-        )
-    gparts = [jnp.moveaxis(v_new, -1, 0), v0g]
+        hasf = has.astype(jnp.float32)
+        vx = jnp.where(has, gridsum[:, 2] / safe, 0.0) + (dt * grav[0]) * hasf
+        vy = jnp.where(has, gridsum[:, 3] / safe, 0.0) + (dt * grav[1]) * hasf
+        # Slip/sticky walls, semantics of models/stabilized._apply_wall_bc:
+        # slip clamps the outgoing normal component per axis band.
+        if scene.wall.kind == "sticky":
+            anyband = low0 | high0 | low1 | high1
+            vx = jnp.where(anyband, 0.0, vx)
+            vy = jnp.where(anyband, 0.0, vy)
+        else:
+            vx = jnp.where(low0, jnp.maximum(vx, 0.0), vx)
+            vx = jnp.where(high0, jnp.minimum(vx, 0.0), vx)
+            vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
+            vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
+    gch = [vx, vy, v0x, v0y]
     if ext:
         # Nodal averages for the NEXT substep's stress: Jbar, p, div.
-        v0sum = gridsum[6]
+        v0sum = gridsum[:, 6]
         has_v = v0sum > 0
         safe_v = jnp.where(has_v, v0sum, 1.0)
-        jbar_g = jnp.where(has_v, gridsum[5] / safe_v, 1.0)
-        p_g = jnp.where(has_v, gridsum[7] / safe_v, 0.0)
-        div_g = jnp.where(has_v, gridsum[8] / safe_v, 0.0)
-        gparts.append(jnp.stack([jbar_g, p_g, div_g], axis=0))
-    grid4 = jnp.concatenate(gparts, axis=0)  # (4 or 7, G, G)
-    return jnp.moveaxis(grid4, 0, 1)  # (G, gch, G): rows leading for g2p
+        gch.append(jnp.where(has_v, gridsum[:, 5] / safe_v, 1.0))
+        gch.append(jnp.where(has_v, gridsum[:, 7] / safe_v, 0.0))
+        gch.append(jnp.where(has_v, gridsum[:, 8] / safe_v, 0.0))
+    return jnp.stack(gch, axis=1)  # (R, 4 or 7, G)
+
+
+def _fold_update(expanded, r: int, scene: Scene, ext: bool):
+    """Single-chip tail: fused Pallas fold + grid update (tk.fold_update).
+    Sharded / grid-reduced runs can't use it — the halo exchange / psum
+    must see raw folded sums — and it needs the absolute mass floor."""
+    cfg = scene.cfg
+    grav = np.asarray(cfg.gravity_acceleration(scene.physics), np.float32)
+    wall = "penalty" if cfg.use_penalty_ebc else scene.wall.kind
+    beta = float(cfg.penalty_parameter(scene.physics)) if cfg.use_penalty_ebc else 0.0
+    return tk.fold_update(
+        expanded, r, ext=ext, dt=float(cfg.dt),
+        gx_=float(grav[0]), gy_=float(grav[1]),
+        floor=float(scene.mass_floor),
+        lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
+        wall=wall, beta=beta,
+    )
 
 
 def _finish_fused(
@@ -246,13 +294,16 @@ def _finish_fused(
     g = cfg.num_grids
     dx = float(cfg.dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
-    if domain is not None:
-        gridsum = domain.halo_sync(tk.fold_rows_halo(expanded))
+    if domain is None and grid_reduce is None and scene.mass_floor > 0.0:
+        grid4 = _fold_update(expanded, b.shape[0], scene, False)
     else:
-        gridsum = tk.fold_rows(expanded)
-    if grid_reduce is not None:
-        gridsum = grid_reduce(gridsum)
-    grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0)
+        if domain is not None:
+            gridsum = domain.halo_sync(tk.fold_rows_halo(expanded))
+        else:
+            gridsum = tk.fold_rows(expanded)
+        if grid_reduce is not None:
+            gridsum = grid_reduce(gridsum)
+        grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0)
     pdata2 = jnp.stack(
         [gx0, gx1, b.mask, b.v0, b.v1, b.J, b.x0, b.x1], axis=1
     )  # (R, 8, K): transfer coords + fused-update state rows
@@ -331,6 +382,10 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
         and _os.environ.get("MPM_FUSE2D", "1") != "0"
     )
     fuse_g2p = _os.environ.get("MPM_FUSE2D_G2P", "0") == "1"
+    # Single-chip tail runs the fused Pallas fold + grid update, which
+    # wants its never-written working rows allocated by P2G (rows_out).
+    use_fu = domain is None and grid_reduce is None and scene.mass_floor > 0.0
+    rows_out = tk.fold_update_in_rows(r) if use_fu else 0
     if fused:
         fields = (
             gx0, gx1, b.v0, b.v1, b.C00, b.C01, b.C10, b.C11,
@@ -344,6 +399,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
             mu=float(scene.params.dynamic_viscosity),
             gamma=float(scene.params.tait_gamma),
             fa=float(-cfg.dt * dinv),
+            rows_out=rows_out,
         )
         if fuse_g2p:
             return _finish_fused(
@@ -476,20 +532,24 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     if pdata is None:
         expanded_p = expanded  # fused P2G already ran
     else:
-        expanded_p = tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic)
-    if domain is not None:
-        # Slab shard: keep the fold's edge rows and trade them with the
-        # neighbor shards (reduce partial sums in, gather completed rows
-        # back); afterwards all r + 4 local rows hold global sums and the
-        # grid update below is purely local.
-        gridsum = domain.halo_sync(tk.fold_rows_halo(expanded_p))
+        expanded_p = tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic, rows_out=rows_out)
+    if use_fu:
+        # Single chip: fused Pallas fold + grid update in one pass.
+        grid4 = _fold_update(expanded_p, r, scene, ext)
     else:
-        gridsum = tk.fold_rows(expanded_p)
-    if grid_reduce is not None:
-        # Multi-chip particle DP: merge per-chip partial grids over ICI
-        # (parallel/fast_replicated.py passes a psum here).
-        gridsum = grid_reduce(gridsum)
-    grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0)
+        if domain is not None:
+            # Slab shard: keep the fold's edge rows and trade them with the
+            # neighbor shards (reduce partial sums in, gather completed rows
+            # back); afterwards all r + 4 local rows hold global sums and the
+            # grid update below is purely local.
+            gridsum = domain.halo_sync(tk.fold_rows_halo(expanded_p))
+        else:
+            gridsum = tk.fold_rows(expanded_p)
+        if grid_reduce is not None:
+            # Multi-chip particle DP: merge per-chip partial grids over ICI
+            # (parallel/fast_replicated.py passes a psum here).
+            gridsum = grid_reduce(gridsum)
+        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0)
 
     # ---- G2P ----------------------------------------------------------
     pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)   # (R, 3, K)

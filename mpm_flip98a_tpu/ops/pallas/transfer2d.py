@@ -37,10 +37,10 @@ Channel conventions (flagship weakly-compressible FLIP98A fluid):
              Q00, Q01, Q10, Q11, m, V]
             P = m C (APIC affine), Q = m C - dt Dinv tau (affine + force);
             every value row pre-masked (zeros in dead slots).
-  P2G out : (R, 5, 6, G) -> fold_rows -> (6, G, G):
+  P2G out : (R, 5, 6, G) -> fold_rows -> (G, 6, G) row-leading:
             [m v0, m v1, m v0 + f0, m v1 + f1, m, V]
   G2P in  : pdata2 (R, 3, K) = [gx0, gx1, mask];
-            grid (G, G, 4) = [v_new0, v_new1, v00, v01] (rows padded)
+            grid (G, 4, G) = [v_new0, v_new1, v00, v01] (rows padded)
   G2P out : (R, 8, K) = [vpic0, vpic1, v0g0, v0g1, C00, C01, C10, C11]
 """
 
@@ -281,15 +281,17 @@ def _chunk(k: int) -> int:
     return k // nc
 
 
-@functools.partial(jax.jit, static_argnames=("g", "dx", "tent", "apic"))
+@functools.partial(jax.jit, static_argnames=("g", "dx", "tent", "apic", "rows_out"))
 def p2g(
     pdata: jax.Array, counts: jax.Array, g: int, dx: float, tent: bool = False,
-    apic: bool = True,
+    apic: bool = True, rows_out: int = 0,
 ) -> jax.Array:
-    """pdata (R, 8 + nch, K), counts (R,) int32 -> (R, 5, nch, G).
+    """pdata (R, 8 + nch, K), counts (R,) int32 -> (max(R, rows_out), 5, nch, G).
 
     nch is inferred from pdata's field count: 14 rows = base channels,
-    17 rows = extended (fused F-bar / projection) channels."""
+    17 rows = extended (fused F-bar / projection) channels.  rows_out > R
+    (= fold_update_in_rows(R)) over-allocates NEVER-WRITTEN leading-dim
+    rows for the fused fold_update consumer, which masks them."""
     r, f, k = pdata.shape
     nch = f - 8
     assert nch in (P2G_CH, P2G_CH_EXT), f
@@ -311,7 +313,7 @@ def p2g(
         out_specs=pl.BlockSpec(
             (1, NT, nch, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((r, NT, nch, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((max(r, rows_out), NT, nch, g), jnp.float32),
         interpret=_interpret(),
     )(counts, pdata)
 
@@ -375,7 +377,7 @@ def _p2g_fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "dx", "tent", "apic", "eos", "kb", "mu", "gamma", "fa"),
+    static_argnames=("g", "dx", "tent", "apic", "eos", "kb", "mu", "gamma", "fa", "rows_out"),
 )
 def p2g_fused(
     sdata: jax.Array,
@@ -389,12 +391,13 @@ def p2g_fused(
     mu: float,
     gamma: float,
     fa: float,
+    rows_out: int = 0,
 ) -> jax.Array:
     """Fused-stress P2G for the single-fluid flagship config.
 
     sdata (R, 11, K): raw state rows [gx0, gx1, v0, v1, C00, C01, C10,
     C11, J, mass, vol0] — a pure copy, no slot-sized stress prep pass.
-    Returns (R, 5, 5, G)."""
+    Returns (max(R, rows_out), 5, 5, G) — see p2g's rows_out note."""
     r, f, k = sdata.shape
     assert f == 11, sdata.shape
     kc = _chunk(k)
@@ -414,22 +417,176 @@ def p2g_fused(
             lambda i, j: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((r, NT, P2G_CH_FUSED, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (max(r, rows_out), NT, P2G_CH_FUSED, g), jnp.float32
+        ),
         interpret=_interpret(),
     )(counts, sdata)
 
 
 def fold_rows(expanded: jax.Array) -> jax.Array:
-    """(R, 5, ch, G) -> (ch, G, G): grid[ch, row] = sum_t expanded[row+1-t, t]."""
+    """(R, 5, ch, G) -> (G, ch, G): grid[row, ch] = sum_t expanded[row+1-t, t].
+
+    ROW-LEADING output: the grid update (fast2d._grid_update2d) and the
+    G2P input grid both use (rows, ch, G), so the whole substep tail runs
+    transpose-free (the former channel-leading layout paid two ~6 MB
+    relayouts per substep at G = 513)."""
     r, nt, ch, g = expanded.shape
     buf = jnp.zeros((r + nt - 1, ch, g), expanded.dtype)
     for t in range(nt):
         buf = buf.at[t : t + r].add(expanded[:, t])
-    return jnp.moveaxis(buf[1 : r + 1], 1, 0)
+    return buf[1 : r + 1]
+
+
+FOLD_B = 32  # output rows per fold_update program
+
+
+def fold_update_in_rows(r: int) -> int:
+    """Leading-dim rows the EXPANDED array must have for fold_update(r):
+    NB * FOLD_B owned blocks + 4 rows for the top side ref.  p2g/p2g_fused
+    allocate this via rows_out (the tail rows are never written — the
+    kernel masks every out-of-[0, r) source, so garbage there is inert)."""
+    nb = -(-r // FOLD_B)
+    return nb * FOLD_B + 4
+
+
+def _fold_update_kernel(
+    bref, aref, cref, out_ref, *, r: int, g: int, nch: int, ext: bool,
+    dt: float, gx_: float, gy_: float, floor: float, lo: int, hi: int,
+    wall: str, beta: float,
+):
+    """Fold the 5 candidate target rows of a FOLD_B-row output block and
+    run the grid momentum update in one pass — see fold_update."""
+    i = pl.program_id(0)
+    o = i * FOLD_B
+    # Window of source rows [o - 3, o + FOLD_B]: side refs are 4-row
+    # blocks below/above the owned block (index maps clamp at the bottom;
+    # every out-of-[0, r) source row is masked below, so clamped or
+    # never-written garbage rows are inert).
+    w = jnp.concatenate([bref[1:4], aref[...], cref[0:1]], axis=0)
+    # w[k] = expanded row o - 3 + k; out local row j sums w[j + 4 - t, t].
+
+    rowid = o + jax.lax.broadcasted_iota(jnp.int32, (FOLD_B, 1), 0)
+    src_ok = [
+        jnp.logical_and(rowid + (1 - t) >= 0, rowid + (1 - t) < r)
+        for t in range(NT)
+    ]
+
+    def fold_ch(c):
+        acc = jnp.zeros((FOLD_B, g), jnp.float32)
+        for t in range(NT):
+            acc = acc + jnp.where(src_ok[t], w[4 - t : 4 - t + FOLD_B, t, c], 0.0)
+        return acc
+
+    g_m = fold_ch(4)
+    has = g_m > floor
+    safe = jnp.where(has, g_m, 1.0)
+    v0x = jnp.where(has, fold_ch(0) / safe, 0.0)
+    v0y = jnp.where(has, fold_ch(1) / safe, 0.0)
+    mvx, mvy = fold_ch(2), fold_ch(3)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    low1, high1 = col <= lo, col >= hi          # (1, G) column wall bands
+    jlow, jhigh = rowid <= lo, rowid >= hi      # (B, 1) row wall bands
+    if wall == "penalty":
+        # (m I + dt beta n(x)n) v = m v* + dt m g — diagonal solve; the
+        # per-channel diagonal is just that axis' wall band mask.
+        pen0 = jnp.where(jnp.logical_or(jlow, jhigh), 1.0, 0.0)
+        pen1 = jnp.logical_or(low1, high1).astype(jnp.float32)
+        vx = jnp.where(has, (mvx + (dt * gx_) * g_m) / (g_m + (dt * beta) * pen0), 0.0)
+        vy = jnp.where(has, (mvy + (dt * gy_) * g_m) / (g_m + (dt * beta) * pen1), 0.0)
+    else:
+        hasf = has.astype(jnp.float32)
+        vx = jnp.where(has, mvx / safe, 0.0) + (dt * gx_) * hasf
+        vy = jnp.where(has, mvy / safe, 0.0) + (dt * gy_) * hasf
+        if wall == "sticky":
+            anyband = jnp.logical_or(
+                jnp.logical_or(low1, high1), jnp.logical_or(jlow, jhigh)
+            )
+            vx = jnp.where(anyband, 0.0, vx)
+            vy = jnp.where(anyband, 0.0, vy)
+        else:  # slip: clamp the outgoing normal component per axis band
+            vx = jnp.where(jlow, jnp.maximum(vx, 0.0), vx)
+            vx = jnp.where(jhigh, jnp.minimum(vx, 0.0), vx)
+            vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
+            vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
+    rows = [vx, vy, v0x, v0y]
+    if ext:
+        v0sum = fold_ch(6)
+        has_v = v0sum > 0
+        safe_v = jnp.where(has_v, v0sum, 1.0)
+        rows.append(jnp.where(has_v, fold_ch(5) / safe_v, 1.0))
+        rows.append(jnp.where(has_v, fold_ch(7) / safe_v, 0.0))
+        rows.append(jnp.where(has_v, fold_ch(8) / safe_v, 0.0))
+    for ix, v in enumerate(rows):
+        out_ref[:, ix, :] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "ext", "dt", "gx_", "gy_", "floor", "lo", "hi", "wall", "beta"),
+)
+def fold_update(
+    expanded: jax.Array, r: int, *, ext: bool, dt: float, gx_: float,
+    gy_: float, floor: float, lo: int, hi: int, wall: str, beta: float = 0.0,
+) -> jax.Array:
+    """Fused fold + grid momentum update:
+    (fold_update_in_rows(r), 5, nch, G) -> (r, gch, G).
+
+    Replaces fold_rows + fast2d._grid_update2d on the single-chip path:
+    one Pallas pass reads each expanded row once (FOLD_B-row blocks; the
+    ±4-row window rides two 4-row-aligned side refs, the same overlapping
+    row-ref idea as g2p's grid windows) and writes the finished g2p input
+    grid — the XLA pair cost ~1.5 ms/substep at 1M/513² in relayouts and
+    multi-pass folds.  Numerics are identical (fp32 adds in the same t
+    order; the update is elementwise).
+
+    `expanded` must be allocated with rows_out=fold_update_in_rows(r) by
+    p2g/p2g_fused; rows >= r are never written and are masked here.
+    `wall`: "slip" | "sticky" | "penalty" (use_penalty_ebc); `floor` is
+    the ABSOLUTE grid-mass floor (Scene.mass_floor — required static
+    here, the relative fallback needs a global max).  `lo`/`hi` are the
+    wall node thresholds (PAD, G-1-PAD).  Sharded runs keep the XLA path:
+    the halo exchange must see raw folded sums, not updated velocities.
+    """
+    rin, nt, nch, g = expanded.shape
+    assert nt == NT, expanded.shape
+    assert rin == fold_update_in_rows(r), (expanded.shape, r)
+    assert nch in (P2G_CH_FUSED, P2G_CH, P2G_CH_EXT), expanded.shape
+    gch = G2P_CH_EXT if ext else G2P_CH
+    nb = -(-r // FOLD_B)
+    q = FOLD_B // 4
+    in_specs = [
+        pl.BlockSpec(
+            (4, NT, nch, g),
+            lambda i: (jnp.maximum(i * q - 1, 0), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (FOLD_B, NT, nch, g), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (4, NT, nch, g), lambda i: (i * q + q, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    return pl.pallas_call(
+        functools.partial(
+            _fold_update_kernel, r=r, g=g, nch=nch, ext=ext, dt=dt, gx_=gx_,
+            gy_=gy_, floor=floor, lo=lo, hi=hi, wall=wall, beta=beta,
+        ),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (FOLD_B, gch, g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, gch, g), jnp.float32),
+        interpret=_interpret(),
+    )(expanded, expanded, expanded)
 
 
 def fold_rows_halo(expanded: jax.Array) -> jax.Array:
-    """(R, 5, ch, G) -> (ch, R + 4, G): like fold_rows but UNcropped.
+    """(R, 5, ch, G) -> (R + 4, ch, G): like fold_rows but UNcropped.
 
     Row j of the result is target row j - 1 relative to bucket row 0 —
     i.e. global rows [lo - 1, lo + R + 3) for a slab whose first bucket
@@ -439,7 +596,7 @@ def fold_rows_halo(expanded: jax.Array) -> jax.Array:
     buf = jnp.zeros((r + nt - 1, ch, g), expanded.dtype)
     for t in range(nt):
         buf = buf.at[t : t + r].add(expanded[:, t])
-    return jnp.moveaxis(buf, 1, 0)
+    return buf
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,7 @@ class FastDomainCtx:
     n: int
 
     def halo_sync(self, buf: jax.Array) -> jax.Array:
-        """(nch, L + 4, G) folded sums -> globally complete rows.
+        """(L + 4, nch, G) row-leading folded sums -> globally complete rows.
 
         Reduce: edge partial sums into the owning neighbor's interior;
         gather: completed interior edge rows back into the halos.  Edge
@@ -95,18 +95,18 @@ class FastDomainCtx:
         neighbor => no partial sums, and the out-of-domain halo rows are
         never read with nonzero weight thanks to the 4-cell padding)."""
         n = self.n
-        l = buf.shape[1] - (H_LO + H_HI)
+        l = buf.shape[0] - (H_LO + H_HI)
         # reduce: my bottom row belongs to the left neighbor's interior,
         # my top 3 rows to the right neighbor's.
-        recv = jax.lax.ppermute(buf[:, 0:H_LO], self.axis, _perm_left(n))
-        buf = buf.at[:, l : l + H_LO].add(recv)
-        recv = jax.lax.ppermute(buf[:, l + H_LO :], self.axis, _perm_right(n))
-        buf = buf.at[:, H_LO : H_LO + H_HI].add(recv)
+        recv = jax.lax.ppermute(buf[0:H_LO], self.axis, _perm_left(n))
+        buf = buf.at[l : l + H_LO].add(recv)
+        recv = jax.lax.ppermute(buf[l + H_LO :], self.axis, _perm_right(n))
+        buf = buf.at[H_LO : H_LO + H_HI].add(recv)
         # gather: completed rows back out to the neighbors' halos.
-        recv = jax.lax.ppermute(buf[:, l : l + H_LO], self.axis, _perm_right(n))
-        buf = buf.at[:, 0:H_LO].set(recv)
-        recv = jax.lax.ppermute(buf[:, H_LO : H_LO + H_HI], self.axis, _perm_left(n))
-        buf = buf.at[:, l + H_LO :].set(recv)
+        recv = jax.lax.ppermute(buf[l : l + H_LO], self.axis, _perm_right(n))
+        buf = buf.at[0:H_LO].set(recv)
+        recv = jax.lax.ppermute(buf[H_LO : H_LO + H_HI], self.axis, _perm_left(n))
+        buf = buf.at[l + H_LO :].set(recv)
         return buf
 
 

@@ -78,18 +78,9 @@ def main():
     gs = jax.jit(tk.fold_rows)(expanded)
 
     def grid_update(gs):
-        from mpm_flip98a_tpu.models.stabilized import _apply_wall_bc
+        from mpm_flip98a_tpu.models import fast2d
 
-        g_m = gs[4]
-        has = g_m > 0
-        safe = jnp.where(has, g_m, 1.0)
-        v0g = jnp.where(has, gs[0:2] / safe, 0.0)
-        grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
-        vng = jnp.where(has, gs[2:4] / safe, 0.0)
-        vng = vng + dt * grav[:, None, None] * has.astype(jnp.float32)
-        v_new = _apply_wall_bc(jnp.moveaxis(vng, 0, -1), cfg, scene.wall)
-        grid4 = jnp.concatenate([jnp.moveaxis(v_new, -1, 0), v0g], axis=0)
-        return jnp.moveaxis(grid4, 0, 1)
+        return fast2d._grid_update2d(gs, scene, False, None, None)
 
     print(f"grid update : {timeit(grid_update, gs)*1e3:7.3f} ms", flush=True)
     grid4 = jax.jit(grid_update)(gs)

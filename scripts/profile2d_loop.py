@@ -84,11 +84,25 @@ def main():
           flush=True)
     gs = jax.jit(tk.fold_rows)(expanded)
 
+    # Fused Pallas fold + grid update (the single-chip default tail);
+    # needs the rows_out-padded expanded layout.
+    p2gf_pad = lambda sd: tk.p2g_fused(
+        sd, counts, g, dx, tent=False, apic=False, eos="tait",
+        kb=float(scene.params.bulk_modulus),
+        mu=float(scene.params.dynamic_viscosity),
+        gamma=float(scene.params.tait_gamma), fa=float(-cfg.dt * dinv),
+        rows_out=tk.fold_update_in_rows(spec.rows),
+    )
+    expanded_pad = jax.jit(p2gf_pad)(sdata)
+    fold_upd = lambda e: fast2d._fold_update(e, spec.rows, scene, False)
+    print(f"fold+update : {timeit_loop(fold_upd, expanded_pad)*1e3:7.3f} ms",
+          flush=True)
+
     def grid_update(gs5):
         # Bench path: non-ext single-fluid — pad channel V with zeros to
-        # reuse _grid_update2d's channel layout (it reads rows 0-4).
+        # reuse _grid_update2d's channel layout (it reads channels 0-4).
         return fast2d._grid_update2d(
-            jnp.concatenate([gs5, jnp.zeros_like(gs5[:1])], axis=0),
+            jnp.concatenate([gs5, jnp.zeros_like(gs5[:, :1])], axis=1),
             scene, False, None, None,
         )
 
