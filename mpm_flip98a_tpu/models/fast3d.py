@@ -337,10 +337,14 @@ def _grid_update(
 def _finish_substep(
     b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts,
     gxs, domain=None, x0k=None, x0_shift=None, row_index0=None,
-    x1k=None, x1_shift=None, row_index1=None,
+    x1k=None, x1_shift=None, row_index1=None, grid_pad=None,
 ) -> FluidBuckets3D:
     """Fused tail of the single-fluid substep: grid update + the
-    update-mode G2P (FLIP blend / advect / J update in-kernel)."""
+    update-mode G2P (FLIP blend / advect / J update in-kernel).
+
+    `grid_pad` (single-chip, from tk3.p2g3d_grid): the grid update and
+    fold already ran in-kernel and the buffer is G2P-ready padded on both
+    axes — skip straight to G2P."""
     cfg = scene.cfg
     r0, r1, k = spec.rows0, spec.rows1, spec.capacity
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
@@ -348,13 +352,19 @@ def _finish_substep(
         x0k = b.x0
     if x1k is None:
         x1k = b.x1
-    if domain is not None:
-        gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
+    if grid_pad is not None:
+        grid_ch = grid_pad
+        pre0 = pre1 = True
     else:
-        gs = tk3.fold_rows0(expanded)
-    grid_ch = _grid_update(
-        gs, scene, ext=False, row_index0=row_index0, row_index1=row_index1
-    )
+        if domain is not None:
+            gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
+        else:
+            gs = tk3.fold_rows0(expanded)
+        grid_ch = _grid_update(
+            gs, scene, ext=False, row_index0=row_index0, row_index1=row_index1
+        )
+        pre0 = domain is not None
+        pre1 = x1_shift is not None
     shaped = lambda a: a.reshape(r0, r1, k)
     out = tk3.g2p3d(
         *gxs, shaped(b.mask),
@@ -364,8 +374,8 @@ def _finish_substep(
             shaped(x0k), shaped(x1k), shaped(b.x2),
         ),
         alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
-        prepadded0=domain is not None,
-        prepadded1=x1_shift is not None,
+        prepadded0=pre0,
+        prepadded1=pre1,
     ).reshape(r0 * r1, tk3.G2P_UPD, k)
     x0_new = out[:, 0] if x0_shift is None else out[:, 0] + x0_shift
     x1_new = out[:, 1] if x1_shift is None else out[:, 1] + x1_shift
@@ -466,6 +476,32 @@ def substep(
             shaped(b.J), shaped(b.mass), shaped(b.vol0),
         )
         eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
+        if domain is None and scene.mass_floor > 0.0:
+            # Single chip: fused P2G + fold + grid update in ONE kernel
+            # (rolling-scratch accumulation — no expanded intermediate,
+            # no XLA fold/update passes, G2P-ready padded output).
+            grav = tuple(
+                float(x) for x in cfg.gravity_acceleration(scene.physics)
+            )
+            wall = "penalty" if cfg.use_penalty_ebc else scene.wall.kind
+            beta = (
+                float(cfg.penalty_parameter(scene.physics))
+                if cfg.use_penalty_ebc else 0.0
+            )
+            grid_pad = tk3.p2g3d_grid(
+                fields, counts, r1, g, dx,
+                apic=apic, stress=eos_name,
+                kb=float(scene.params.bulk_modulus),
+                mu=float(scene.params.dynamic_viscosity),
+                gamma=float(scene.params.tait_gamma),
+                fa=float(-cfg.dt * dinv),
+                dt=float(cfg.dt), grav=grav,
+                floor=float(scene.mass_floor),
+                lo=int(PAD), hi=g - 1 - int(PAD), wall=wall, beta=beta,
+            )
+            return _finish_substep(
+                b, scene, spec, None, counts, gxs, grid_pad=grid_pad,
+            )
         expanded = tk3.p2g3d(
             fields, counts, r1, g, dx,
             apic=apic, stress=eos_name,

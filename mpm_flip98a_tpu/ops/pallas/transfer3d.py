@@ -141,6 +141,21 @@ def _p2g3d_kernel(
     # Dynamic pencil-row extraction uses pltpu.roll (_take_row).
     def pencil(b, carry):
         i1 = gq * b1 + b
+
+        def emit(t0, t1, val):
+            if halo1:
+                # Axis-1 sharded: the output plane carries the axis-1 halo
+                # (plane row j = target row j - 1, like the axis-0
+                # expansion), so edge writes land in the halo instead of
+                # being dropped and every target index is in range.
+                out_ref[0, t0, pl.ds(i1 + t1, 1), :, :] += val[None]
+            else:
+                row = i1 + (t1 - 1)
+
+                @pl.when((row >= 0) & (row < g1))
+                def _(row=row, t0=t0, val=val):
+                    out_ref[0, t0, pl.ds(row, 1), :, :] += val[None]
+
         cnt = counts_ref[i0 * r1 + i1]
         for q in range(k // kc):
             # Buckets are packed (actives first), so chunks past the count
@@ -148,10 +163,10 @@ def _p2g3d_kernel(
             @pl.when(q * kc < cnt)
             def _(q=q):
                 _p2g3d_chunk(
-                    in_refs, out_ref, i0, i1, tz, b, q,
-                    g1=g1, g2t=g2t, dx=dx, kc=kc,
+                    in_refs, emit, i0, i1, tz, b, q,
+                    g2t=g2t, dx=dx, kc=kc,
                     apic=apic, ext=ext, stress=stress, kb=kb, mu=mu,
-                    gamma=gamma, fa=fa, tent=tent, halo1=halo1,
+                    gamma=gamma, fa=fa, tent=tent,
                 )
         return carry
 
@@ -166,8 +181,8 @@ def _take_row(block, b):
 
 
 def _p2g3d_chunk(
-    refs, out_ref, i0, i1, tz, b, q,
-    *, g1, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa, tent, halo1,
+    refs, emit, i0, i1, tz, b, q,
+    *, g2t, dx, kc, apic, ext, stress, kb, mu, gamma, fa, tent,
 ):
     sl = slice(q * kc, (q + 1) * kc)
     ld = lambda ix: _take_row(refs[ix][0], b)[sl]
@@ -311,18 +326,7 @@ def _p2g3d_chunk(
 
     for t0 in range(NT):
         for t1 in range(NT):
-            if halo1:
-                # Axis-1 sharded: the output plane carries the axis-1 halo
-                # (plane row j = target row j - 1, like the axis-0
-                # expansion), so edge writes land in the halo instead of
-                # being dropped and every target index is in range.
-                out_ref[0, t0, pl.ds(i1 + t1, 1), :, :] += pair_val(t0, t1)[None]
-            else:
-                row = i1 + (t1 - 1)
-
-                @pl.when((row >= 0) & (row < g1))
-                def _(row=row, t0=t0, t1=t1):
-                    out_ref[0, t0, pl.ds(row, 1), :, :] += pair_val(t0, t1)[None]
+            emit(t0, t1, pair_val(t0, t1))
 
 
 @functools.partial(
@@ -407,6 +411,247 @@ def p2g3d(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((r0, NT, g1out, nch, g2), jnp.float32),
+        interpret=_interpret(),
+    )(counts, *fields)
+
+
+def _p2g3d_grid_kernel(
+    counts_ref,
+    *refs,
+    r0: int,
+    r1: int,
+    b1: int,
+    g2t: int,
+    dx: float,
+    kc: int,
+    apic: bool,
+    stress,
+    kb: float,
+    mu: float,
+    gamma: float,
+    fa: float,
+    tent: bool,
+    dt: float,
+    grav,
+    floor: float,
+    lo: int,
+    hi: int,
+    wall: str,
+    beta: float,
+):
+    """Rolling-scratch P2G + fold + grid update — see p2g3d_grid."""
+    out_ref = refs[-2]
+    scratch = refs[-1]
+    in_refs = refs[:-2]
+    tz = pl.program_id(0)
+    j = pl.program_id(1)
+    gq = pl.program_id(2)
+    k = in_refs[0].shape[2]
+    p1 = r1 + NT - 1  # plane rows (axis-1 padded: plane row = target + 1)
+
+    @pl.when(gq == 0)
+    def _emit_and_roll():
+        # Program j finalizes target axis-0 row (j - 2): every contributor
+        # (buckets j-3..j-1) ran in earlier programs.  Slot arithmetic:
+        # slot(target) = target mod 5, and slot(j - 2) == slot(j + 3) ==
+        # rem(j + 3, 5) — the emitted slot is immediately recycled for the
+        # incoming target row j + 3.
+        @pl.when(j == 0)
+        def _():
+            scratch[...] = jnp.zeros_like(scratch)
+
+        s = jax.lax.rem(j + 3, jnp.int32(NT))
+        plane = scratch[pl.ds(s, 1)][0]          # (p1, nch, g2t) sums
+        m = plane[:, 6]                          # (p1, g2t)
+        # Crop targets outside [0, r0) exactly like fold_rows0's [1, r+1)
+        # crop: top-boundary scatter rows r0..r0+2 must emit zeros.
+        interior = jnp.logical_and(j >= 2, j < r0 + 2)
+        has = jnp.logical_and(m > floor, interior)
+        safe = jnp.where(has, m, 1.0)
+        v0 = [jnp.where(has, plane[:, a] / safe, 0.0) for a in range(3)]
+        # Wall bands: axis 0 = this target row (scalar), axis 1 = plane
+        # row - 1, axis 2 = tz tile columns.  Same node sets as
+        # fast3d._axis_bands (box faces at PAD / G-1-PAD).
+        t0r = j - 2
+        a0l = jnp.logical_and(t0r <= lo, interior)
+        a0h = t0r >= hi
+        idx1 = jax.lax.broadcasted_iota(jnp.int32, (p1, 1), 0) - 1
+        a1l, a1h = idx1 <= lo, idx1 >= hi
+        idx2 = tz * g2t + jax.lax.broadcasted_iota(jnp.int32, (1, g2t), 1)
+        a2l, a2h = idx2 <= lo, idx2 >= hi
+        if wall == "penalty":
+            # (m I + dt beta n(x)n) v = m v* + dt m g: the box's penalty
+            # matrix is diagonal per channel (fast3d._wall_normal_diag_ch).
+            pen = [
+                jnp.where(jnp.logical_or(a0l, a0h), 1.0, 0.0)
+                * jnp.ones((p1, g2t), jnp.float32),
+                jnp.logical_or(a1l, a1h).astype(jnp.float32)
+                * jnp.ones((1, g2t), jnp.float32),
+                jnp.logical_or(a2l, a2h).astype(jnp.float32)
+                * jnp.ones((p1, 1), jnp.float32),
+            ]
+            v = [
+                jnp.where(
+                    has,
+                    (plane[:, 3 + a] + (dt * grav[a]) * m)
+                    / (m + (dt * beta) * pen[a]),
+                    0.0,
+                )
+                for a in range(3)
+            ]
+        else:
+            hasf = has.astype(jnp.float32)
+            v = [
+                jnp.where(has, plane[:, 3 + a] / safe, 0.0)
+                + (dt * grav[a]) * hasf
+                for a in range(3)
+            ]
+            if wall == "sticky":
+                anyband = (
+                    jnp.logical_or(jnp.logical_or(a0l, a0h), jnp.logical_or(a1l, a1h))
+                    | jnp.broadcast_to(jnp.logical_or(a2l, a2h), (p1, g2t))
+                )
+                v = [jnp.where(anyband, 0.0, va) for va in v]
+            else:  # slip: clamp the outgoing normal component per axis band
+                v[0] = jnp.where(a0l, jnp.maximum(v[0], 0.0), v[0])
+                v[0] = jnp.where(a0h, jnp.minimum(v[0], 0.0), v[0])
+                v[1] = jnp.where(a1l, jnp.maximum(v[1], 0.0), v[1])
+                v[1] = jnp.where(a1h, jnp.minimum(v[1], 0.0), v[1])
+                v[2] = jnp.where(a2l, jnp.maximum(v[2], 0.0), v[2])
+                v[2] = jnp.where(a2h, jnp.minimum(v[2], 0.0), v[2])
+        for c in range(3):
+            out_ref[0, :, c, :] = v[c]
+            out_ref[0, :, 3 + c, :] = v0[c]
+        scratch[pl.ds(s, 1)] = jnp.zeros_like(scratch[pl.ds(s, 1)])
+
+    @pl.when(j < r0)
+    def _accumulate():
+        def pencil(b, carry):
+            i1 = gq * b1 + b
+
+            def emit(t0, t1, val):
+                # target axis-0 row j + t0 - 1 lives in slot rem(.., 5);
+                # axis-1 plane row = i1 + t1 (halo1-style padded plane).
+                s = jax.lax.rem(j + t0 + jnp.int32(4), jnp.int32(NT))
+                scratch[pl.ds(s, 1), pl.ds(i1 + t1, 1), :, :] += val[None, None]
+
+            cnt = counts_ref[j * r1 + i1]
+            for q in range(k // kc):
+                @pl.when(q * kc < cnt)
+                def _(q=q):
+                    _p2g3d_chunk(
+                        in_refs, emit, j, i1, tz, b, q,
+                        g2t=g2t, dx=dx, kc=kc,
+                        apic=apic, ext=False, stress=stress, kb=kb, mu=mu,
+                        gamma=gamma, fa=fa, tent=tent,
+                    )
+            return carry
+
+        jax.lax.fori_loop(0, b1, pencil, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g1", "g2", "dx", "apic", "stress", "kb", "mu", "gamma", "fa",
+        "tent", "dt", "grav", "floor", "lo", "hi", "wall", "beta",
+    ),
+)
+def p2g3d_grid(
+    fields: tuple,
+    counts: jax.Array,
+    g1: int,
+    g2: int,
+    dx: float,
+    apic: bool = True,
+    stress=None,
+    kb: float = 0.0,
+    mu: float = 0.0,
+    gamma: float = 7.0,
+    fa: float = 0.0,
+    tent: bool = False,
+    *,
+    dt: float,
+    grav: tuple,
+    floor: float,
+    lo: int,
+    hi: int,
+    wall: str,
+    beta: float = 0.0,
+) -> jax.Array:
+    """Single-chip fused P2G + fold + grid update (non-ext configs):
+    fields -> the FINISHED, G2P-ready padded velocity grid
+    (R0 + 4, R1 + 4, G2P_CH, G2), plane/row j = target row j - 1 on both
+    axes (the g2p3d prepadded0+prepadded1 layout, zeros in the pads).
+
+    Replaces the expanded (R0, 5, G1, nch, G2) intermediate (5x the grid
+    footprint in HBM write + read), fold_rows0, the XLA grid update, AND
+    g2p3d's zero-pad copy with in-VMEM accumulation: the TPU grid is
+    sequential per core, so a 5-slot rolling scratch of (R1+4, nch, G2T)
+    target-row planes carries partial sums between consecutive axis-0
+    programs.  Program j (a) finalizes target row j - 2 — mass floor
+    (ABSOLUTE, scene.mass_floor), gravity, slip/sticky bands or the
+    diagonal penalty-EBC solve — and writes it to the output block once,
+    (b) recycles that slot for incoming row j + 3, then (c) accumulates
+    bucket row j's 25 target-pair contributions into the live slots.
+    Grid = (n_tz, R0 + 5, R1/b1), tz OUTERMOST so the scratch rolls
+    coherently (particle blocks are re-fetched n_tz times — at 256^3 that
+    is ~2x the particle bytes vs ~5x the grid bytes saved).
+    dimension_semantics pins all grid dims "arbitrary": megacore
+    parallelization over axis 0 would break the rolling scratch.
+
+    Sharded runs (halo exchange needs raw folded sums) and ext configs
+    keep p2g3d + fold_rows0 + the XLA update."""
+    r0, r1, k = fields[0].shape
+    nch = P2G_CH
+    if stress is not None:
+        assert stress in ("linear", "tait")
+        n_in = 18
+    else:
+        n_in = 3 + 3 + (9 if apic else 0) + 9 + 1
+    assert len(fields) == n_in, (len(fields), n_in)
+    assert g1 == r1, (g1, r1)  # single-chip: buckets cover the full grid
+    kc = _chunk3d(k)
+    b1 = _batch1(r1)
+    p1 = r1 + NT - 1
+    # z tiling: the NT-slot scratch of (p1, nch, g2t) planes is the VMEM
+    # driver (same budget role as p2g3d's output block).
+    cap_mb = float(__import__("os").environ.get("MPM_P2G3D_BLOCK_MB", "6"))
+    n_tz = 1
+    while NT * p1 * nch * (g2 // n_tz) * 4 > cap_mb * 1024 * 1024:
+        n_tz *= 2
+    assert g2 % n_tz == 0, (g2, n_tz)
+    g2t = g2 // n_tz
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+        pl.BlockSpec(
+            (1, b1, k),
+            lambda tz, j, gq: (jnp.minimum(j, r0 - 1), gq, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_in)
+    ]
+    return pl.pallas_call(
+        functools.partial(
+            _p2g3d_grid_kernel,
+            r0=r0, r1=r1, b1=b1, g2t=g2t, dx=dx, kc=kc, apic=apic,
+            stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa, tent=tent,
+            dt=dt, grav=grav, floor=floor, lo=lo, hi=hi, wall=wall,
+            beta=beta,
+        ),
+        grid=(n_tz, r0 + NT, r1 // b1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, p1, G2P_CH, g2t),
+            lambda tz, j, gq: (jnp.maximum(j - 1, 0), 0, 0, tz),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (r0 + NT - 1, p1, G2P_CH, g2), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((NT, p1, nch, g2t), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
         interpret=_interpret(),
     )(counts, *fields)
 

@@ -91,6 +91,54 @@ def tap_2d():
     return dx_max < 1e-6 and dv_max < 1e-3, (float(dx_max), float(dv_max))
 
 
+def tap_3d():
+    """3D fused single-fluid path (p2g3d_grid rolling-scratch kernel) vs
+    the general XLA stabilized path, one substep on the real backend."""
+    p, scene = scenes.dam_break_3d(
+        num_grids=32, particles_per_axis=(12, 12, 20), dt=2e-5,
+        dtype=np.float32,
+    )
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    b1 = fast3d.substep(b, scene, spec)
+    p1 = substep_ref(p, scene)
+    h = fast3d.to_host(b1)
+    x_f = np.stack([h["x0"], h["x1"], h["x2"]], -1)
+    of = np.lexsort((x_f[:, 2], x_f[:, 1], x_f[:, 0]))
+    xr = np.asarray(p1.x)
+    orr = np.lexsort((xr[:, 2], xr[:, 1], xr[:, 0]))
+    dx_max = np.abs(x_f[of] - xr[orr]).max()
+    print(f"tap 3D fused-vs-general: |dx|max={dx_max:.3e}", flush=True)
+    return dx_max < 1e-6, float(dx_max)
+
+
+def stability_3d_fluid(n_total=500):
+    """500 substeps of the 64^3 single-fluid slab on the fused
+    p2g3d_grid path: finite, bounded |v|, zero overflow."""
+    p, scene = scenes.slab_3d(num_grids=64, particles_per_axis=(64, 64, 16))
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=2.0)
+    bb = fast3d.from_particles(p, scene.cfg, spec)
+    ok = True
+    vmax = 0.0
+    for done in range(100, n_total + 1, 100):
+        bb = fast3d.run(bb, scene, spec, 100)
+        h = fast3d.to_host(bb)
+        fin = bool(
+            np.isfinite(h["x0"]).all() and np.isfinite(h["v0"]).all()
+        )
+        vmax = max(np.abs(h[k]).max() for k in ("v0", "v1", "v2"))
+        ovf = int(np.asarray(bb.overflow))
+        print(
+            f"3D fluid substep {done}: finite={fin} "
+            f"|J-1|max={np.abs(h['J']-1).max():.4g} |v|max={vmax:.4g} "
+            f"overflow={ovf}", flush=True,
+        )
+        if not fin or ovf != 0 or vmax > 10.0:
+            ok = False
+            break
+    return ok, float(vmax)
+
+
 def stability_3d(n_total=500):
     p, scene = scenes.elastic_drop_3d(
         num_grids=64, fluid_particles=(48, 48, 16), block_particles=(16, 16, 16),
@@ -127,10 +175,14 @@ def main():
     print(f"backend={jax.default_backend()} MPM_DOT_MODE={mode}", flush=True)
     ok1, pou = pou_probe()
     ok2, tap = tap_2d()
+    ok4, tap3 = tap_3d()
+    ok5, vmaxf = stability_3d_fluid()
     ok3, vmax = stability_3d()
-    print(f"RESULT mode={mode} pou_ok={ok1} tap_ok={ok2} stable_ok={ok3}",
-          flush=True)
-    sys.exit(0 if (ok1 and ok2 and ok3) else 1)
+    print(
+        f"RESULT mode={mode} pou_ok={ok1} tap_ok={ok2} tap3d_ok={ok4} "
+        f"fluid_stable_ok={ok5} stable_ok={ok3}", flush=True,
+    )
+    sys.exit(0 if (ok1 and ok2 and ok3 and ok4 and ok5) else 1)
 
 
 if __name__ == "__main__":
