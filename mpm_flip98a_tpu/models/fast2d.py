@@ -267,17 +267,24 @@ def _grid_update2d(
     return jnp.stack(gch, axis=1)  # (R, 4 or 7, G)
 
 
-def _fold_update(expanded, r: int, scene: Scene, ext: bool):
-    """Single-chip tail: fused Pallas fold + grid update (tk.fold_update).
+def _p2g_grid(data, counts, scene: Scene, *, fused, tent, apic, eos="tait"):
+    """Single-chip tail: ONE kernel for P2G + fold + grid update
+    (tk.p2g_grid rolling scratch) returning the g2p-ready padded grid.
     Sharded / grid-reduced runs can't use it — the halo exchange / psum
     must see raw folded sums — and it needs the absolute mass floor."""
     cfg = scene.cfg
     grav = np.asarray(cfg.gravity_acceleration(scene.physics), np.float32)
     wall = "penalty" if cfg.use_penalty_ebc else scene.wall.kind
     beta = float(cfg.penalty_parameter(scene.physics)) if cfg.use_penalty_ebc else 0.0
-    return tk.fold_update(
-        expanded, r, ext=ext, dt=float(cfg.dt),
-        gx_=float(grav[0]), gy_=float(grav[1]),
+    dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    return tk.p2g_grid(
+        data, counts, cfg.num_grids, float(cfg.dx),
+        fused=fused, tent=tent, apic=apic, eos=eos,
+        kb=float(scene.params.bulk_modulus),
+        mu=float(scene.params.dynamic_viscosity),
+        gamma=float(scene.params.tait_gamma),
+        fa=float(-cfg.dt * dinv),
+        dt=float(cfg.dt), gx_=float(grav[0]), gy_=float(grav[1]),
         floor=float(scene.mass_floor),
         lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
         wall=wall, beta=beta,
@@ -286,17 +293,18 @@ def _fold_update(expanded, r: int, scene: Scene, ext: bool):
 
 def _finish_fused(
     b: FluidBuckets, scene: Scene, expanded, counts, gx0, gx1,
-    domain, grid_reduce, row_index0, grid_shape,
+    domain, grid_reduce, row_index0, grid_shape, grid4=None,
 ) -> FluidBuckets:
     """Fused tail of the single-fluid substep: fold + grid update + the
-    update-mode G2P (FLIP blend / advect / J update in-kernel)."""
+    update-mode G2P (FLIP blend / advect / J update in-kernel).
+
+    `grid4` (single-chip, from tk.p2g_grid): fold + update already ran
+    in-kernel and the buffer is g2p-ready padded — skip straight to G2P."""
     cfg = scene.cfg
     g = cfg.num_grids
     dx = float(cfg.dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
-    if domain is None and grid_reduce is None and scene.mass_floor > 0.0:
-        grid4 = _fold_update(expanded, b.shape[0], scene, False)
-    else:
+    if grid4 is None:
         if domain is not None:
             gridsum = domain.halo_sync(tk.fold_rows_halo(expanded))
         else:
@@ -304,12 +312,15 @@ def _finish_fused(
         if grid_reduce is not None:
             gridsum = grid_reduce(gridsum)
         grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0)
+        pre = domain is not None
+    else:
+        pre = True
     pdata2 = jnp.stack(
         [gx0, gx1, b.mask, b.v0, b.v1, b.J, b.x0, b.x1], axis=1
     )  # (R, 8, K): transfer coords + fused-update state rows
     out9 = tk.g2p(
         pdata2, counts, grid4, dx, dinv, tent=False,
-        prepadded=domain is not None,
+        prepadded=pre,
         update=True, alpha=float(cfg.flip_blend), dtv=float(cfg.dt),
     )
     return dataclasses.replace(
@@ -382,29 +393,36 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
         and _os.environ.get("MPM_FUSE2D", "1") != "0"
     )
     fuse_g2p = _os.environ.get("MPM_FUSE2D_G2P", "0") == "1"
-    # Single-chip tail runs the fused Pallas fold + grid update, which
-    # wants its never-written working rows allocated by P2G (rows_out).
+    # Single chip: ONE kernel runs P2G + fold + grid update (rolling
+    # scratch, tk.p2g_grid) and emits the g2p-ready padded grid.
     use_fu = domain is None and grid_reduce is None and scene.mass_floor > 0.0
-    rows_out = tk.fold_update_in_rows(r) if use_fu else 0
+    grid4 = None
     if fused:
         fields = (
             gx0, gx1, b.v0, b.v1, b.C00, b.C01, b.C10, b.C11,
             b.J, b.mass, b.vol0,
         )
+        sdata = jnp.stack(fields, axis=1)
         eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
-        expanded = tk.p2g_fused(
-            jnp.stack(fields, axis=1), counts, g, dx, tent=False, apic=apic,
-            eos=eos_name,
-            kb=float(scene.params.bulk_modulus),
-            mu=float(scene.params.dynamic_viscosity),
-            gamma=float(scene.params.tait_gamma),
-            fa=float(-cfg.dt * dinv),
-            rows_out=rows_out,
-        )
+        if use_fu:
+            expanded = None
+            grid4 = _p2g_grid(
+                sdata, counts, scene, fused=True, tent=False, apic=apic,
+                eos=eos_name,
+            )
+        else:
+            expanded = tk.p2g_fused(
+                sdata, counts, g, dx, tent=False, apic=apic,
+                eos=eos_name,
+                kb=float(scene.params.bulk_modulus),
+                mu=float(scene.params.dynamic_viscosity),
+                gamma=float(scene.params.tait_gamma),
+                fa=float(-cfg.dt * dinv),
+            )
         if fuse_g2p:
             return _finish_fused(
                 b, scene, expanded, counts, gx0, gx1,
-                domain, grid_reduce, row_index0, grid_shape,
+                domain, grid_reduce, row_index0, grid_shape, grid4=grid4,
             )
         pass  # fused P2G + generic G2P tail (A/B probe)
 
@@ -529,14 +547,17 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
         pdata = jnp.stack(rows_, axis=1)  # (R, 14 or 17, K)
 
     # ---- P2G ----------------------------------------------------------
-    if pdata is None:
-        expanded_p = expanded  # fused P2G already ran
+    if grid4 is not None:
+        pass  # fused single-chip kernel already produced the grid
+    elif pdata is not None and use_fu:
+        grid4 = _p2g_grid(
+            pdata, counts, scene, fused=False, tent=tent, apic=apic
+        )
     else:
-        expanded_p = tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic, rows_out=rows_out)
-    if use_fu:
-        # Single chip: fused Pallas fold + grid update in one pass.
-        grid4 = _fold_update(expanded_p, r, scene, ext)
-    else:
+        if pdata is None:
+            expanded_p = expanded  # fused P2G already ran
+        else:
+            expanded_p = tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic)
         if domain is not None:
             # Slab shard: keep the fold's edge rows and trade them with the
             # neighbor shards (reduce partial sums in, gather completed rows
@@ -560,7 +581,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     # (models/stabilized.py "general kernels use the per-particle D").
     out8 = tk.g2p(
         pdata2, counts, grid4, dx, 1.0 if tent else dinv, tent=tent,
-        prepadded=domain is not None,
+        prepadded=use_fu or domain is not None,
     )
     vpic0, vpic1 = out8[:, 0], out8[:, 1]
     vold0, vold1 = out8[:, 2], out8[:, 3]

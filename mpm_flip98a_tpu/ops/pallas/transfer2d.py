@@ -39,6 +39,8 @@ Channel conventions (flagship weakly-compressible FLIP98A fluid):
             every value row pre-masked (zeros in dead slots).
   P2G out : (R, 5, 6, G) -> fold_rows -> (G, 6, G) row-leading:
             [m v0, m v1, m v0 + f0, m v1 + f1, m, V]
+            (single chip: p2g_grid instead fuses P2G + fold + grid
+            update in ONE kernel and emits the padded G2P grid directly)
   G2P in  : pdata2 (R, 3, K) = [gx0, gx1, mask];
             grid (G, 4, G) = [v_new0, v_new1, v00, v01] (rows padded)
   G2P out : (R, 8, K) = [vpic0, vpic1, v0g0, v0g1, C00, C01, C10, C11]
@@ -184,12 +186,15 @@ def _p2g_kernel(counts_ref, pdata_ref, out_ref, *, g: int, dx: float, kc: int, e
     # Buckets are packed (actives first), so a chunk past the row's count
     # holds only dead slots — skip its entire body.  Empty grid rows and
     # sparse buckets then cost one predicate each.
+    def emit(t, upd):
+        out_ref[0, t] += upd
+
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        _p2g_chunk(pdata_ref, out_ref, i, g=g, dx=dx, ext=ext, tent=tent, apic=apic)
+        _p2g_chunk(pdata_ref, emit, i, g=g, dx=dx, ext=ext, tent=tent, apic=apic)
 
 
-def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: bool, apic: bool):
+def _p2g_chunk(pdata_ref, emit, i, *, g: int, dx: float, ext: bool, tent: bool, apic: bool):
     pd = pdata_ref[0]  # (14, KC)
     mv = (pd[2], pd[3])
     p_aff = (pd[4], pd[5], pd[6], pd[7])   # P00 P01 P10 P11
@@ -197,13 +202,13 @@ def _p2g_chunk(pdata_ref, out_ref, i, *, g: int, dx: float, ext: bool, tent: boo
     nch = P2G_CH_EXT if ext else P2G_CH
     plain = [pd[12 + e] for e in range(nch - 4)]  # m, V[, V0 J, V0, V0 p, V0 div]
     _p2g_core(
-        out_ref, i, pd[0], pd[1], mv, p_aff, q_aff, plain,
+        emit, i, pd[0], pd[1], mv, p_aff, q_aff, plain,
         g=g, dx=dx, tent=tent, apic=apic,
     )
 
 
 def _p2g_core(
-    out_ref, i, gx0, gx1, mv, p_aff, q_aff, plain,
+    emit, i, gx0, gx1, mv, p_aff, q_aff, plain,
     *, g: int, dx: float, tent: bool, apic: bool,
 ):
     """Shared P2G chunk body: one-hot column matmul + 5-target-row
@@ -269,7 +274,7 @@ def _p2g_core(
         corr = lin * colv - lingx
         parts = [main[:aoff], main[aoff : aoff + na2] + corr, main[aoff + na2 :]]
         upd = jnp.concatenate([p for p in parts if p.shape[0]], axis=0)
-        out_ref[0, t] += upd
+        emit(t, upd)
 
 
 def _chunk(k: int) -> int:
@@ -281,17 +286,15 @@ def _chunk(k: int) -> int:
     return k // nc
 
 
-@functools.partial(jax.jit, static_argnames=("g", "dx", "tent", "apic", "rows_out"))
+@functools.partial(jax.jit, static_argnames=("g", "dx", "tent", "apic"))
 def p2g(
     pdata: jax.Array, counts: jax.Array, g: int, dx: float, tent: bool = False,
-    apic: bool = True, rows_out: int = 0,
+    apic: bool = True,
 ) -> jax.Array:
-    """pdata (R, 8 + nch, K), counts (R,) int32 -> (max(R, rows_out), 5, nch, G).
+    """pdata (R, 8 + nch, K), counts (R,) int32 -> (R, 5, nch, G).
 
     nch is inferred from pdata's field count: 14 rows = base channels,
-    17 rows = extended (fused F-bar / projection) channels.  rows_out > R
-    (= fold_update_in_rows(R)) over-allocates NEVER-WRITTEN leading-dim
-    rows for the fused fold_update consumer, which masks them."""
+    17 rows = extended (fused F-bar / projection) channels."""
     r, f, k = pdata.shape
     nch = f - 8
     assert nch in (P2G_CH, P2G_CH_EXT), f
@@ -313,7 +316,7 @@ def p2g(
         out_specs=pl.BlockSpec(
             (1, NT, nch, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((max(r, rows_out), NT, nch, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, NT, nch, g), jnp.float32),
         interpret=_interpret(),
     )(counts, pdata)
 
@@ -336,48 +339,61 @@ def _p2g_fused_kernel(
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    def emit(t, upd):
+        out_ref[0, t] += upd
+
     @pl.when(j * kc < counts_ref[i])
     def _body():
-        # Fused fluid stress (fast2d's weakly-compressible tau) computed
-        # in-chunk from the raw state — only ACTIVE chunks pay, where a
-        # slot-shaped XLA prep pass pays for every dead slot (same design
-        # as transfer3d's stress mode).  Dead slots are neutral
-        # (mass = vol0 = 0, J = 1): they contribute exact zeros unmasked.
-        sd = in_refs[0][0]  # (11, KC)
-        ld = lambda ix: sd[ix]
-        gx0, gx1 = ld(0), ld(1)
-        v0, v1 = ld(2), ld(3)
-        c00, c01, c10, c11 = ld(4), ld(5), ld(6), ld(7)
-        jj, mass, vol0 = ld(8), ld(9), ld(10)
-        mv = (mass * v0, mass * v1)
-        if eos == "linear":
-            pressure = -kb * (jj - 1.0)
-        else:  # tait
-            j_safe = jnp.maximum(jj, jnp.float32(1e-3))
-            pressure = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
-        div = c00 + c11
-        vj = vol0 * jj
-        t00 = vj * (-pressure + 2.0 * mu * (c00 - 0.5 * div))
-        t11 = vj * (-pressure + 2.0 * mu * (c11 - 0.5 * div))
-        t01 = vj * (2.0 * mu * 0.5 * (c01 + c10))
-        if apic:
-            p_aff = (mass * c00, mass * c01, mass * c10, mass * c11)
-            q_aff = (
-                p_aff[0] + fa * t00, p_aff[1] + fa * t01,
-                p_aff[2] + fa * t01, p_aff[3] + fa * t11,
-            )
-        else:
-            p_aff = None
-            q_aff = (fa * t00, fa * t01, fa * t01, fa * t11)
-        _p2g_core(
-            out_ref, i, gx0, gx1, mv, p_aff, q_aff, [mass],
-            g=g, dx=dx, tent=tent, apic=apic,
+        _p2g_fused_chunk(
+            in_refs[0], emit, i, g=g, dx=dx, tent=tent, apic=apic,
+            eos=eos, kb=kb, mu=mu, gamma=gamma, fa=fa,
         )
+
+
+def _p2g_fused_chunk(
+    sdata_ref, emit, i,
+    *, g, dx, tent, apic, eos, kb, mu, gamma, fa,
+):
+    # Fused fluid stress (fast2d's weakly-compressible tau) computed
+    # in-chunk from the raw state — only ACTIVE chunks pay, where a
+    # slot-shaped XLA prep pass pays for every dead slot (same design
+    # as transfer3d's stress mode).  Dead slots are neutral
+    # (mass = vol0 = 0, J = 1): they contribute exact zeros unmasked.
+    sd = sdata_ref[0]  # (11, KC)
+    ld = lambda ix: sd[ix]
+    gx0, gx1 = ld(0), ld(1)
+    v0, v1 = ld(2), ld(3)
+    c00, c01, c10, c11 = ld(4), ld(5), ld(6), ld(7)
+    jj, mass, vol0 = ld(8), ld(9), ld(10)
+    mv = (mass * v0, mass * v1)
+    if eos == "linear":
+        pressure = -kb * (jj - 1.0)
+    else:  # tait
+        j_safe = jnp.maximum(jj, jnp.float32(1e-3))
+        pressure = (kb / gamma) * ((1.0 / j_safe) ** gamma - 1.0)
+    div = c00 + c11
+    vj = vol0 * jj
+    t00 = vj * (-pressure + 2.0 * mu * (c00 - 0.5 * div))
+    t11 = vj * (-pressure + 2.0 * mu * (c11 - 0.5 * div))
+    t01 = vj * (2.0 * mu * 0.5 * (c01 + c10))
+    if apic:
+        p_aff = (mass * c00, mass * c01, mass * c10, mass * c11)
+        q_aff = (
+            p_aff[0] + fa * t00, p_aff[1] + fa * t01,
+            p_aff[2] + fa * t01, p_aff[3] + fa * t11,
+        )
+    else:
+        p_aff = None
+        q_aff = (fa * t00, fa * t01, fa * t01, fa * t11)
+    _p2g_core(
+        emit, i, gx0, gx1, mv, p_aff, q_aff, [mass],
+        g=g, dx=dx, tent=tent, apic=apic,
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "dx", "tent", "apic", "eos", "kb", "mu", "gamma", "fa", "rows_out"),
+    static_argnames=("g", "dx", "tent", "apic", "eos", "kb", "mu", "gamma", "fa"),
 )
 def p2g_fused(
     sdata: jax.Array,
@@ -391,13 +407,12 @@ def p2g_fused(
     mu: float,
     gamma: float,
     fa: float,
-    rows_out: int = 0,
 ) -> jax.Array:
     """Fused-stress P2G for the single-fluid flagship config.
 
     sdata (R, 11, K): raw state rows [gx0, gx1, v0, v1, C00, C01, C10,
     C11, J, mass, vol0] — a pure copy, no slot-sized stress prep pass.
-    Returns (max(R, rows_out), 5, 5, G) — see p2g's rows_out note."""
+    Returns (R, 5, 5, G)."""
     r, f, k = sdata.shape
     assert f == 11, sdata.shape
     kc = _chunk(k)
@@ -418,10 +433,193 @@ def p2g_fused(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (max(r, rows_out), NT, P2G_CH_FUSED, g), jnp.float32
+            (r, NT, P2G_CH_FUSED, g), jnp.float32
         ),
         interpret=_interpret(),
     )(counts, sdata)
+
+
+def _p2g_grid_kernel(
+    counts_ref, data_ref, out_ref, scratch,
+    *, r: int, g: int, nch: int, kc: int, dx: float, fused: bool,
+    ext: bool, tent: bool, apic: bool, eos: str, kb: float, mu: float,
+    gamma: float, fa: float, dt: float, gx_: float, gy_: float, floor: float, lo: int,
+    hi: int, wall: str, beta: float,
+):
+    """Rolling-scratch P2G + fold + grid update — see p2g_grid."""
+    jrow = pl.program_id(0)
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _emit_and_roll():
+        # Program j finalizes target row j - 2 (contributors: buckets
+        # j-3..j-1, all in earlier programs) and recycles its slot for
+        # incoming target row j + 3 (slot(j-2) == slot(j+3) mod 5).
+        @pl.when(jrow == 0)
+        def _():
+            scratch[...] = jnp.zeros_like(scratch)
+
+        s = jax.lax.rem(jrow + 3, jnp.int32(NT))
+        plane = scratch[pl.ds(s, 1)][0]          # (nch, G) folded sums
+        t0r = jrow - 2
+        m = plane[4]
+        # Crop targets outside [0, r) — top-boundary scatter rows must
+        # emit zeros, exactly like fold_rows' [1, r+1) crop.
+        interior = jnp.logical_and(t0r >= 0, t0r < r)
+        has = jnp.logical_and(m > floor, interior)
+        safe = jnp.where(has, m, 1.0)
+        v0x = jnp.where(has, plane[0] / safe, 0.0)
+        v0y = jnp.where(has, plane[1] / safe, 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)[0]
+        low1, high1 = col <= lo, col >= hi       # (G,) column wall bands
+        jlow, jhigh = t0r <= lo, t0r >= hi       # scalar row wall bands
+        if wall == "penalty":
+            # (m I + dt beta n(x)n) v = m v* + dt m g — diagonal solve.
+            pen0 = jnp.where(jnp.logical_or(jlow, jhigh), 1.0, 0.0)
+            pen1 = jnp.logical_or(low1, high1).astype(jnp.float32)
+            vx = jnp.where(
+                has, (plane[2] + (dt * gx_) * m) / (m + (dt * beta) * pen0), 0.0
+            )
+            vy = jnp.where(
+                has, (plane[3] + (dt * gy_) * m) / (m + (dt * beta) * pen1), 0.0
+            )
+        else:
+            hasf = has.astype(jnp.float32)
+            vx = jnp.where(has, plane[2] / safe, 0.0) + (dt * gx_) * hasf
+            vy = jnp.where(has, plane[3] / safe, 0.0) + (dt * gy_) * hasf
+            if wall == "sticky":
+                anyband = jnp.logical_or(
+                    jnp.logical_or(low1, high1), jnp.logical_or(jlow, jhigh)
+                )
+                vx = jnp.where(anyband, 0.0, vx)
+                vy = jnp.where(anyband, 0.0, vy)
+            else:  # slip: clamp the outgoing normal component per band
+                vx = jnp.where(jlow, jnp.maximum(vx, 0.0), vx)
+                vx = jnp.where(jhigh, jnp.minimum(vx, 0.0), vx)
+                vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
+                vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
+        rows = [vx, vy, v0x, v0y]
+        if ext:
+            v0sum = plane[6]
+            has_v = jnp.logical_and(v0sum > 0, interior)
+            safe_v = jnp.where(has_v, v0sum, 1.0)
+            rows.append(jnp.where(has_v, plane[5] / safe_v, 1.0))
+            rows.append(jnp.where(has_v, plane[7] / safe_v, 0.0))
+            rows.append(jnp.where(has_v, plane[8] / safe_v, 0.0))
+        for ix, v in enumerate(rows):
+            out_ref[0, ix] = v
+        scratch[pl.ds(s, 1)] = jnp.zeros_like(scratch[pl.ds(s, 1)])
+
+    def emit(t, upd):
+        s = jax.lax.rem(jrow + t + jnp.int32(4), jnp.int32(NT))
+        scratch[pl.ds(s, 1)] += upd[None]
+
+    @pl.when(
+        jnp.logical_and(
+            jrow < r, q * kc < counts_ref[jnp.minimum(jrow, r - 1)]
+        )
+    )
+    def _body():
+        if fused:
+            _p2g_fused_chunk(
+                data_ref, emit, jrow, g=g, dx=dx, tent=tent, apic=apic,
+                eos=eos, kb=kb, mu=mu, gamma=gamma, fa=fa,
+            )
+        else:
+            _p2g_chunk(
+                data_ref, emit, jrow, g=g, dx=dx, ext=ext, tent=tent,
+                apic=apic,
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g", "dx", "fused", "tent", "apic", "eos", "kb", "mu", "gamma",
+        "fa", "dt", "gx_", "gy_", "floor", "lo", "hi", "wall", "beta",
+    ),
+)
+def p2g_grid(
+    data: jax.Array,
+    counts: jax.Array,
+    g: int,
+    dx: float,
+    *,
+    fused: bool,
+    tent: bool,
+    apic: bool,
+    eos: str = "tait",
+    kb: float = 0.0,
+    mu: float = 0.0,
+    gamma: float = 7.0,
+    fa: float = 0.0,
+    dt: float,
+    gx_: float,
+    gy_: float,
+    floor: float,
+    lo: int,
+    hi: int,
+    wall: str,
+    beta: float = 0.0,
+) -> jax.Array:
+    """Single-chip fused P2G + fold + grid update (2D): data -> the
+    FINISHED, g2p-ready PADDED grid (R + 4, gch, G), row j = target row
+    j - 1, zeros in the pads (feed g2p with prepadded=True).
+
+    Same rolling-scratch design as transfer3d.p2g3d_grid: the TPU grid
+    is sequential per core, so an NT-slot scratch of (nch, G) target
+    rows carries fold partial sums between consecutive row programs —
+    the expanded (R, 5, nch, G) intermediate, the fold pass, the XLA
+    grid update pass, and g2p's zero-pad copy all disappear.  Program j finalizes target row j - 2 (mass floor,
+    gravity, slip/sticky bands or diagonal penalty solve, ext nodal
+    averages), writes it once, recycles the slot for row j + 3.
+    dimension_semantics pins both grid dims "arbitrary" (a parallel
+    axis-0 would break the roll).
+
+    `data`: sdata (R, 11, K) when fused=True (raw state, in-kernel
+    stress) else prepped pdata (R, 8 + nch, K).  `floor` is the ABSOLUTE
+    grid-mass floor (Scene.mass_floor; required — the relative fallback
+    needs a global max).  Sharded / grid-reduced runs keep p2g +
+    fold_rows_halo: the halo exchange must see raw folded sums."""
+    r, f, k = data.shape
+    if fused:
+        assert f == 11, data.shape
+        nch, ext = P2G_CH_FUSED, False
+    else:
+        nch = f - 8
+        assert nch in (P2G_CH, P2G_CH_EXT), f
+        ext = nch == P2G_CH_EXT
+    gch = G2P_CH_EXT if ext else G2P_CH
+    kc = _chunk(k)
+    return pl.pallas_call(
+        functools.partial(
+            _p2g_grid_kernel,
+            r=r, g=g, nch=nch, kc=kc, dx=dx, fused=fused, ext=ext,
+            tent=tent, apic=apic, eos=eos, kb=kb, mu=mu, gamma=gamma, fa=fa, dt=dt,
+            gx_=gx_, gy_=gy_, floor=floor, lo=lo, hi=hi, wall=wall,
+            beta=beta,
+        ),
+        grid=(r + NT, k // kc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, f, kc),
+                lambda i, j: (jnp.minimum(i, r - 1), 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, gch, g),
+            lambda i, j: (jnp.maximum(i - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((r + NT - 1, gch, g), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((NT, nch, g), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(counts, data)
 
 
 def fold_rows(expanded: jax.Array) -> jax.Array:
@@ -436,153 +634,6 @@ def fold_rows(expanded: jax.Array) -> jax.Array:
     for t in range(nt):
         buf = buf.at[t : t + r].add(expanded[:, t])
     return buf[1 : r + 1]
-
-
-FOLD_B = 32  # output rows per fold_update program
-
-
-def fold_update_in_rows(r: int) -> int:
-    """Leading-dim rows the EXPANDED array must have for fold_update(r):
-    NB * FOLD_B owned blocks + 4 rows for the top side ref.  p2g/p2g_fused
-    allocate this via rows_out (the tail rows are never written — the
-    kernel masks every out-of-[0, r) source, so garbage there is inert)."""
-    nb = -(-r // FOLD_B)
-    return nb * FOLD_B + 4
-
-
-def _fold_update_kernel(
-    bref, aref, cref, out_ref, *, r: int, g: int, nch: int, ext: bool,
-    dt: float, gx_: float, gy_: float, floor: float, lo: int, hi: int,
-    wall: str, beta: float,
-):
-    """Fold the 5 candidate target rows of a FOLD_B-row output block and
-    run the grid momentum update in one pass — see fold_update."""
-    i = pl.program_id(0)
-    o = i * FOLD_B
-    # Window of source rows [o - 3, o + FOLD_B]: side refs are 4-row
-    # blocks below/above the owned block (index maps clamp at the bottom;
-    # every out-of-[0, r) source row is masked below, so clamped or
-    # never-written garbage rows are inert).
-    w = jnp.concatenate([bref[1:4], aref[...], cref[0:1]], axis=0)
-    # w[k] = expanded row o - 3 + k; out local row j sums w[j + 4 - t, t].
-
-    rowid = o + jax.lax.broadcasted_iota(jnp.int32, (FOLD_B, 1), 0)
-    src_ok = [
-        jnp.logical_and(rowid + (1 - t) >= 0, rowid + (1 - t) < r)
-        for t in range(NT)
-    ]
-
-    def fold_ch(c):
-        acc = jnp.zeros((FOLD_B, g), jnp.float32)
-        for t in range(NT):
-            acc = acc + jnp.where(src_ok[t], w[4 - t : 4 - t + FOLD_B, t, c], 0.0)
-        return acc
-
-    g_m = fold_ch(4)
-    has = g_m > floor
-    safe = jnp.where(has, g_m, 1.0)
-    v0x = jnp.where(has, fold_ch(0) / safe, 0.0)
-    v0y = jnp.where(has, fold_ch(1) / safe, 0.0)
-    mvx, mvy = fold_ch(2), fold_ch(3)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
-    low1, high1 = col <= lo, col >= hi          # (1, G) column wall bands
-    jlow, jhigh = rowid <= lo, rowid >= hi      # (B, 1) row wall bands
-    if wall == "penalty":
-        # (m I + dt beta n(x)n) v = m v* + dt m g — diagonal solve; the
-        # per-channel diagonal is just that axis' wall band mask.
-        pen0 = jnp.where(jnp.logical_or(jlow, jhigh), 1.0, 0.0)
-        pen1 = jnp.logical_or(low1, high1).astype(jnp.float32)
-        vx = jnp.where(has, (mvx + (dt * gx_) * g_m) / (g_m + (dt * beta) * pen0), 0.0)
-        vy = jnp.where(has, (mvy + (dt * gy_) * g_m) / (g_m + (dt * beta) * pen1), 0.0)
-    else:
-        hasf = has.astype(jnp.float32)
-        vx = jnp.where(has, mvx / safe, 0.0) + (dt * gx_) * hasf
-        vy = jnp.where(has, mvy / safe, 0.0) + (dt * gy_) * hasf
-        if wall == "sticky":
-            anyband = jnp.logical_or(
-                jnp.logical_or(low1, high1), jnp.logical_or(jlow, jhigh)
-            )
-            vx = jnp.where(anyband, 0.0, vx)
-            vy = jnp.where(anyband, 0.0, vy)
-        else:  # slip: clamp the outgoing normal component per axis band
-            vx = jnp.where(jlow, jnp.maximum(vx, 0.0), vx)
-            vx = jnp.where(jhigh, jnp.minimum(vx, 0.0), vx)
-            vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
-            vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
-    rows = [vx, vy, v0x, v0y]
-    if ext:
-        v0sum = fold_ch(6)
-        has_v = v0sum > 0
-        safe_v = jnp.where(has_v, v0sum, 1.0)
-        rows.append(jnp.where(has_v, fold_ch(5) / safe_v, 1.0))
-        rows.append(jnp.where(has_v, fold_ch(7) / safe_v, 0.0))
-        rows.append(jnp.where(has_v, fold_ch(8) / safe_v, 0.0))
-    for ix, v in enumerate(rows):
-        out_ref[:, ix, :] = v
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("r", "ext", "dt", "gx_", "gy_", "floor", "lo", "hi", "wall", "beta"),
-)
-def fold_update(
-    expanded: jax.Array, r: int, *, ext: bool, dt: float, gx_: float,
-    gy_: float, floor: float, lo: int, hi: int, wall: str, beta: float = 0.0,
-) -> jax.Array:
-    """Fused fold + grid momentum update:
-    (fold_update_in_rows(r), 5, nch, G) -> (r, gch, G).
-
-    Replaces fold_rows + fast2d._grid_update2d on the single-chip path:
-    one Pallas pass reads each expanded row once (FOLD_B-row blocks; the
-    ±4-row window rides two 4-row-aligned side refs, the same overlapping
-    row-ref idea as g2p's grid windows) and writes the finished g2p input
-    grid — the XLA pair cost ~1.5 ms/substep at 1M/513² in relayouts and
-    multi-pass folds.  Numerics are identical (fp32 adds in the same t
-    order; the update is elementwise).
-
-    `expanded` must be allocated with rows_out=fold_update_in_rows(r) by
-    p2g/p2g_fused; rows >= r are never written and are masked here.
-    `wall`: "slip" | "sticky" | "penalty" (use_penalty_ebc); `floor` is
-    the ABSOLUTE grid-mass floor (Scene.mass_floor — required static
-    here, the relative fallback needs a global max).  `lo`/`hi` are the
-    wall node thresholds (PAD, G-1-PAD).  Sharded runs keep the XLA path:
-    the halo exchange must see raw folded sums, not updated velocities.
-    """
-    rin, nt, nch, g = expanded.shape
-    assert nt == NT, expanded.shape
-    assert rin == fold_update_in_rows(r), (expanded.shape, r)
-    assert nch in (P2G_CH_FUSED, P2G_CH, P2G_CH_EXT), expanded.shape
-    gch = G2P_CH_EXT if ext else G2P_CH
-    nb = -(-r // FOLD_B)
-    q = FOLD_B // 4
-    in_specs = [
-        pl.BlockSpec(
-            (4, NT, nch, g),
-            lambda i: (jnp.maximum(i * q - 1, 0), 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (FOLD_B, NT, nch, g), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (4, NT, nch, g), lambda i: (i * q + q, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    return pl.pallas_call(
-        functools.partial(
-            _fold_update_kernel, r=r, g=g, nch=nch, ext=ext, dt=dt, gx_=gx_,
-            gy_=gy_, floor=floor, lo=lo, hi=hi, wall=wall, beta=beta,
-        ),
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (FOLD_B, gch, g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((r, gch, g), jnp.float32),
-        interpret=_interpret(),
-    )(expanded, expanded, expanded)
 
 
 def fold_rows_halo(expanded: jax.Array) -> jax.Array:

@@ -84,18 +84,12 @@ def main():
           flush=True)
     gs = jax.jit(tk.fold_rows)(expanded)
 
-    # Fused Pallas fold + grid update (the single-chip default tail);
-    # needs the rows_out-padded expanded layout.
-    p2gf_pad = lambda sd: tk.p2g_fused(
-        sd, counts, g, dx, tent=False, apic=False, eos="tait",
-        kb=float(scene.params.bulk_modulus),
-        mu=float(scene.params.dynamic_viscosity),
-        gamma=float(scene.params.tait_gamma), fa=float(-cfg.dt * dinv),
-        rows_out=tk.fold_update_in_rows(spec.rows),
+    # Fused single-chip kernel: P2G + fold + grid update in one pass
+    # (the production single-chip tail).
+    p2g_grid = lambda sd: fast2d._p2g_grid(
+        sd, counts, scene, fused=True, tent=False, apic=False, eos="tait"
     )
-    expanded_pad = jax.jit(p2gf_pad)(sdata)
-    fold_upd = lambda e: fast2d._fold_update(e, spec.rows, scene, False)
-    print(f"fold+update : {timeit_loop(fold_upd, expanded_pad)*1e3:7.3f} ms",
+    print(f"p2g_grid    : {timeit_loop(p2g_grid, sdata)*1e3:7.3f} ms",
           flush=True)
 
     def grid_update(gs5):

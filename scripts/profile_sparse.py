@@ -1,5 +1,5 @@
 """Measure the cost of EMPTY row-buckets in the 2D kernels (ROADMAP item
-6, sparse grids): time p2g_fused / g2p / fold_update with the real
+6, sparse grids): time p2g_fused / g2p / p2g_grid with the real
 dam-break counts vs counts forced to zero (every program takes the
 chunk-skip fast exit, only the mandatory output-block writes remain).
 
@@ -46,28 +46,18 @@ def main():
     sdata = jnp.stack(
         [gx0, gx1, b.v0, b.v1, b.C00, b.C01, b.C10, b.C11, b.J, b.mass,
          b.vol0], axis=1)
-    rows_out = tk.fold_update_in_rows(spec.rows)
     for name, cts in (("real", counts), ("zero", zcounts)):
-        p2gf = lambda sd, c=cts: tk.p2g_fused(
-            sd, c, g, dx, tent=False, apic=False, eos="tait",
-            kb=float(scene.params.bulk_modulus),
-            mu=float(scene.params.dynamic_viscosity),
-            gamma=float(scene.params.tait_gamma), fa=float(-cfg.dt * dinv),
-            rows_out=rows_out,
+        p2gg = lambda sd, c=cts: fast2d._p2g_grid(
+            sd, c, scene, fused=True, tent=False, apic=False, eos="tait"
         )
-        t = timeit_loop(p2gf, sdata)
-        print(f"p2g_fused[{name}] : {t*1e3:7.3f} ms", flush=True)
+        t = timeit_loop(p2gg, sdata)
+        print(f"p2g_grid[{name}] : {t*1e3:7.3f} ms", flush=True)
         if name == "real":
-            expanded = jax.jit(p2gf)(sdata)
-
-    fold_upd = lambda e: fast2d._fold_update(e, spec.rows, scene, False)
-    print(f"fold_update      : {timeit_loop(fold_upd, expanded)*1e3:7.3f} ms",
-          flush=True)
-    grid4 = jax.jit(fold_upd)(expanded)
+            grid4 = jax.jit(p2gg)(sdata)
 
     pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)
     for name, cts in (("real", counts), ("zero", zcounts)):
-        g2ps = lambda pd, c=cts: tk.g2p(pd, c, grid4, dx, dinv)
+        g2ps = lambda pd, c=cts: tk.g2p(pd, c, grid4, dx, dinv, prepadded=True)
         print(f"g2p[{name}]       : {timeit_loop(g2ps, pdata2)*1e3:7.3f} ms",
               flush=True)
 
