@@ -503,7 +503,10 @@ def _p2g_grid_kernel(
             v0sum = plane[6]
             has_v = jnp.logical_and(v0sum > 0, interior)
             safe_v = jnp.where(has_v, v0sum, 1.0)
-            rows.append(jnp.where(has_v, plane[5] / safe_v, 1.0))
+            # Jbar's empty-node default (1.0) applies to INTERIOR rows
+            # only — pad rows stay exact zeros like every other channel.
+            jbar_dflt = jnp.where(interior, 1.0, 0.0)
+            rows.append(jnp.where(has_v, plane[5] / safe_v, jbar_dflt))
             rows.append(jnp.where(has_v, plane[7] / safe_v, 0.0))
             rows.append(jnp.where(has_v, plane[8] / safe_v, 0.0))
         for ix, v in enumerate(rows):
