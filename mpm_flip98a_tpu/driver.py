@@ -28,7 +28,7 @@ import numpy as np
 from mpm_flip98a_tpu.config import MPMConfig, TransferKind
 from mpm_flip98a_tpu.models import fast2d, fast3d, scenes, stabilized
 from mpm_flip98a_tpu.utils import checkpoint as ckpt
-from mpm_flip98a_tpu.utils import io_vtk, render
+from mpm_flip98a_tpu.utils import io_vtk, native_io, render
 from mpm_flip98a_tpu.utils.progress import create_file_paths, progress_bar
 from mpm_flip98a_tpu.utils.timing import Timers, ThroughputMeter, device_sync
 
@@ -86,6 +86,7 @@ class Simulation:
         tag: Optional[str] = None,
         render_res: int = 512,
         devices: int = 1,
+        io_async: bool = False,
     ):
         self.scene = scene
         self.cfg = scene.cfg
@@ -97,6 +98,9 @@ class Simulation:
         self.frame_dir, self.vtk_dir = create_file_paths(self.tag, out_dir)
         self.render_res = render_res
         self.frames = []
+        self.io_async = io_async
+        self._io_pool = None
+        self._io_futures = []
         self._host_cache = None
         self.total_time = 0.0
         self.frame_count = 0
@@ -191,25 +195,74 @@ class Simulation:
         self.frame_count += 1
 
     def post_process(self, write_vtk: bool = True, keep_frame: bool = True) -> None:
-        """Render + export the current frame (exec.py:29 equivalent)."""
+        """Render + export the current frame (exec.py:29 equivalent).
+
+        Production frame dumps (keep_frame=False, i.e. no GIF assembly)
+        go through the native rasterizer/PNG/binary-VTK library
+        (utils/native_io.py — the stb_image_write/Canvas role of the
+        reference's native layer) and, when `io_async`, run on a writer
+        thread so frame IO overlaps the next frame's substeps instead of
+        sitting on the critical path.  The host pull itself stays on the
+        main thread (it must see THIS frame's device state)."""
         with self.timers.scope("post_process"):
             x = self.positions()
             # Project keeping the gravity axis (the LAST axis) vertical:
             # (x0, x1) in 2D, (x0, x2) side view in 3D — a (x0, x1) top
             # view of a 3D scene hides the fall entirely.
-            img = render.rasterize(
-                x[:, [0, x.shape[1] - 1]],
-                res=self.render_res,
-                extent=self.cfg.domain_length,
-                colors=self.material_colors(),
+            x2 = x[:, [0, x.shape[1] - 1]]
+            colors = self.material_colors()
+            png_path = f"{self.frame_dir}/{self.frame_count:05d}.png"
+            vtk_path = f"{self.vtk_dir}/{self.frame_count:05d}.vtk"
+            res, extent = self.render_res, self.cfg.domain_length
+
+            def write_frame():
+                if keep_frame or not native_io.frame_png(
+                    png_path, x2, colors, res, extent
+                ):
+                    img = render.rasterize(
+                        x2, res=res, extent=extent, colors=colors
+                    )
+                    render.write_png(img, png_path)
+                    return img
+                return None
+
+            def write_all():
+                img = write_frame()
+                if write_vtk and not native_io.vtk_particles(vtk_path, x):
+                    io_vtk.write_vtk_particles(vtk_path, x)
+                return img
+
+            if self.io_async and not keep_frame:
+                self._submit_io(write_all)
+            else:
+                img = write_all()
+                if keep_frame:
+                    self.frames.append(img)
+
+    def _submit_io(self, fn) -> None:
+        import concurrent.futures as cf
+
+        if self._io_pool is None:
+            self._io_pool = cf.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="mpm-io"
             )
-            render.write_png(img, f"{self.frame_dir}/{self.frame_count:05d}.png")
-            if keep_frame:
-                self.frames.append(img)
-            if write_vtk:
-                io_vtk.write_vtk_particles(
-                    f"{self.vtk_dir}/{self.frame_count:05d}.vtk", x
-                )
+        # Bound the backlog (each pending frame pins a host position
+        # snapshot) and surface writer exceptions promptly.
+        pending = [f for f in self._io_futures if not f.done()]
+        if len(pending) >= 4:
+            cf.wait(pending, return_when=cf.FIRST_COMPLETED)
+        done = [f for f in self._io_futures if f.done()]
+        for f in done:
+            f.result()  # re-raise writer errors on the main thread
+            self._io_futures.remove(f)
+        self._io_futures.append(self._io_pool.submit(fn))
+
+    def drain_io(self) -> None:
+        """Block until every queued frame write has finished (and re-raise
+        any writer exception)."""
+        for f in self._io_futures:
+            f.result()
+        self._io_futures.clear()
 
     def save_checkpoint(self, path: str) -> None:
         ckpt.save(
@@ -269,9 +322,11 @@ class Simulation:
                     sim_total,
                     extra=f"{self.meter.substeps_per_sec:.0f} sub/s",
                 )
-            self.post_process()
+            self.post_process(keep_frame=gif)
             if checkpoint_every and self.frame_count % checkpoint_every == 0:
                 self.save_checkpoint(f"{self.frame_dir}/restart.npz")
+        with self.timers.scope("post_process"):
+            self.drain_io()  # async writes must land inside Run Time
         if gif and self.frames:
             render.write_gif(self.frames, f"{self.frame_dir}/output.gif")
         if verbose:
@@ -298,11 +353,17 @@ def main(argv=None):
         "--checkpoint-every", type=int, default=None, help="rolling restart every N frames"
     )
     ap.add_argument("--no-gif", action="store_true")
+    ap.add_argument(
+        "--sync-io", action="store_true",
+        help="write frames on the main thread (default: async writer "
+        "thread overlaps frame IO with the next frame's substeps)",
+    )
     args = ap.parse_args(argv)
 
     p, scene = SCENARIOS[args.scenario]()
     sim = Simulation(
-        p, scene, path=args.path, out_dir=args.out, devices=args.devices
+        p, scene, path=args.path, out_dir=args.out, devices=args.devices,
+        io_async=not args.sync_io,
     )
     if args.resume:
         sim.restore_checkpoint(args.resume)

@@ -51,9 +51,22 @@ def write_vtk_particles(
 
 
 def read_vtk_points(path: str) -> np.ndarray:
-    """Read back POINTS from a legacy VTK file (round-trip tests / restart)."""
-    with open(path) as f:
-        tokens = f.read().split()
+    """Read back POINTS from a legacy VTK file (round-trip tests / restart).
+    Handles both the ASCII files this module writes and the BINARY
+    big-endian files the native writer emits (utils/native_io.py)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header = data[:4096]
+    if b"\nBINARY\n" in header:
+        at = data.index(b"POINTS")
+        eol = data.index(b"\n", at)
+        _, n_s, dtype_s = data[at:eol].split()
+        n = int(n_s)
+        dt = {b"float": ">f4", b"double": ">f8"}[dtype_s]
+        start = eol + 1
+        vals = np.frombuffer(data, dt, count=3 * n, offset=start)
+        return vals.astype(np.float64).reshape(n, 3)
+    tokens = data.decode().split()
     i = tokens.index("POINTS")
     n = int(tokens[i + 1])
     vals = np.array(tokens[i + 3 : i + 3 + 3 * n], np.float64)
