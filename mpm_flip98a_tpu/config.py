@@ -109,6 +109,13 @@ class MPMConfig:
     # EXTENSION beyond the reference switch set: continuum-surface-force
     # surface tension [N/m] on the general path (0 = off).
     surface_tension: float = 0.0
+    # EXTENSION: Chorin-style incompressible pressure projection on the
+    # grid velocities (models/projection.py) — pair with a reduced
+    # bulk_modulus to escape the weakly-compressible acoustic CFL.
+    # General path, single device (the CG needs global reductions).
+    incompressible: bool = False
+    pressure_iters: int = 60                      # CG iteration cap
+    pressure_tol: float = 1e-4                    # relative residual exit
 
     # -- penalty essential BCs ------------------------------------------
     penalty: float = 1e6                          # config.py:27

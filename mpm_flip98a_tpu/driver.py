@@ -54,6 +54,14 @@ SCENARIOS = {
     ),
     "elastic_drop": lambda: scenes.elastic_drop_2d(),
     "dam3d": lambda: scenes.dam_break_3d(),
+    # EXTENSION: incompressible dam break — Chorin projection instead of
+    # the stiff EOS carrying incompressibility (models/projection.py).
+    "dam2d_incompressible": lambda: scenes.dam_break_2d(
+        dataclasses.replace(
+            MPMConfig(), flip_blend=0.98, transfer=TransferKind.PIC,
+            incompressible=True,
+        )
+    ),
 }
 
 

@@ -348,6 +348,11 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
             "(models/stabilized.py); run surface_tension > 0 scenes with "
             "path='general'"
         )
+    if cfg.incompressible:
+        raise NotImplementedError(
+            "incompressible projection is implemented in the general path "
+            "only (models/projection.py); run with path='general'"
+        )
     g = cfg.num_grids
     dt = jnp.float32(cfg.dt)
     dx = float(cfg.dx)

@@ -402,6 +402,11 @@ def substep(
             "(models/stabilized.py); run surface_tension > 0 scenes with "
             "path='general'"
         )
+    if cfg.incompressible:
+        raise NotImplementedError(
+            "incompressible projection is implemented in the general path "
+            "only (models/projection.py); run with path='general'"
+        )
     g = cfg.num_grids
     r0, r1 = spec.rows0, spec.rows1
     k = spec.capacity

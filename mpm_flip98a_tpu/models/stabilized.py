@@ -488,6 +488,24 @@ def substep_grid(
         v_new = jnp.where(has_mass[..., None], rhs / safe_m[..., None], 0.0)
         v_new = _apply_wall_bc(v_new, cfg, scene.wall, grid_shape, ctx.row_index0)
 
+    if cfg.incompressible:
+        # EXTENSION: nodal Chorin projection (models/projection.py) —
+        # divergence-free grid velocities each substep; see the config
+        # switch note.  Solid wall nodes keep their BC values (the
+        # projection only moves fluid nodes strictly inside the box).
+        if ctx.row_index0 is not None:
+            raise NotImplementedError(
+                "incompressible projection needs global CG reductions; "
+                "run on a single device (general path)"
+            )
+        from mpm_flip98a_tpu.models import projection as _proj
+
+        v_new, _, _ = _proj.project(
+            v_new, g_m, _mass_floor(scene, g_m),
+            dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
+            iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
+        )
+
     grid = Grid(
         v=v_new,
         v0=v0,
