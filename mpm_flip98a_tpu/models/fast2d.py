@@ -415,6 +415,8 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
                 sdata, counts, scene, fused=True, tent=False, apic=apic,
                 eos=eos_name,
             )
+        elif domain is not None and not fuse_g2p:
+            expanded = None  # sharded: raw rolling-scratch fold below
         else:
             expanded = tk.p2g_fused(
                 sdata, counts, g, dx, tent=False, apic=apic,
@@ -554,6 +556,27 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     # ---- P2G ----------------------------------------------------------
     if grid4 is not None:
         pass  # fused single-chip kernel already produced the grid
+    elif domain is not None:
+        # Slab shard: the rolling-scratch kernel folds in-VMEM but emits
+        # RAW UNcropped halo-layout sums (== fold_rows_halo(p2g)); the
+        # edge rows trade with the neighbor shards (reduce partial sums
+        # in, gather completed rows back), then the grid update is local.
+        if pdata is None:
+            raw_halo = tk.p2g_grid(
+                sdata, counts, g, dx, fused=True, tent=False, apic=apic,
+                raw=True, eos=eos_name,
+                kb=float(scene.params.bulk_modulus),
+                mu=float(scene.params.dynamic_viscosity),
+                gamma=float(scene.params.tait_gamma),
+                fa=float(-cfg.dt * dinv),
+            )
+        else:
+            raw_halo = tk.p2g_grid(
+                pdata, counts, g, dx, fused=False, tent=tent, apic=apic,
+                raw=True,
+            )
+        gridsum = domain.halo_sync(raw_halo)
+        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0)
     elif pdata is not None and use_fu:
         grid4 = _p2g_grid(
             pdata, counts, scene, fused=False, tent=tent, apic=apic
@@ -563,14 +586,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
             expanded_p = expanded  # fused P2G already ran
         else:
             expanded_p = tk.p2g(pdata, counts, g, dx, tent=tent, apic=apic)
-        if domain is not None:
-            # Slab shard: keep the fold's edge rows and trade them with the
-            # neighbor shards (reduce partial sums in, gather completed rows
-            # back); afterwards all r + 4 local rows hold global sums and the
-            # grid update below is purely local.
-            gridsum = domain.halo_sync(tk.fold_rows_halo(expanded_p))
-        else:
-            gridsum = tk.fold_rows(expanded_p)
+        gridsum = tk.fold_rows(expanded_p)
         if grid_reduce is not None:
             # Multi-chip particle DP: merge per-chip partial grids over ICI
             # (parallel/fast_replicated.py passes a psum here).

@@ -337,14 +337,16 @@ def _grid_update(
 def _finish_substep(
     b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts,
     gxs, domain=None, x0k=None, x0_shift=None, row_index0=None,
-    x1k=None, x1_shift=None, row_index1=None, grid_pad=None,
+    x1k=None, x1_shift=None, row_index1=None, grid_pad=None, raw_halo=None,
 ) -> FluidBuckets3D:
     """Fused tail of the single-fluid substep: grid update + the
     update-mode G2P (FLIP blend / advect / J update in-kernel).
 
     `grid_pad` (single-chip, from tk3.p2g3d_grid): the grid update and
     fold already ran in-kernel and the buffer is G2P-ready padded on both
-    axes — skip straight to G2P."""
+    axes — skip straight to G2P.  `raw_halo` (sharded, from p2g3d_grid
+    raw mode): the fold already ran in-kernel into the UNcropped halo
+    layout (L0+4, L1+4, nch, G2) — exchange, then update."""
     cfg = scene.cfg
     r0, r1, k = spec.rows0, spec.rows1, spec.capacity
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
@@ -354,6 +356,17 @@ def _finish_substep(
         x1k = b.x1
     if grid_pad is not None:
         grid_ch = grid_pad
+        pre0 = pre1 = True
+    elif raw_halo is not None:
+        gs = domain.halo_sync(raw_halo)
+        if row_index1 is None:
+            # 1-axis slab: axis 1 is global but the raw buffer carries
+            # the axis-1 halo rows (plane row j = target j - 1, zeros —
+            # no particles within 2 cells of the y walls).
+            row_index1 = jnp.arange(r1 + 4) - 1
+        grid_ch = _grid_update(
+            gs, scene, ext=False, row_index0=row_index0, row_index1=row_index1
+        )
         pre0 = pre1 = True
     else:
         if domain is not None:
@@ -507,18 +520,20 @@ def substep(
             return _finish_substep(
                 b, scene, spec, None, counts, gxs, grid_pad=grid_pad,
             )
-        expanded = tk3.p2g3d(
+        # Sharded: the rolling-scratch kernel still folds in-VMEM, but
+        # emits RAW halo-layout sums (the exchange must see them).
+        raw_halo = tk3.p2g3d_grid(
             fields, counts, r1, g, dx,
             apic=apic, stress=eos_name,
             kb=float(scene.params.bulk_modulus),
             mu=float(scene.params.dynamic_viscosity),
             gamma=float(scene.params.tait_gamma),
             fa=float(-cfg.dt * dinv),
-            halo1=halo1,
+            raw=True,
         )
         return _finish_substep(
-            b, scene, spec, expanded, counts, gxs, domain, x0k, x0_shift,
-            row_index0, x1k, x1_shift, row_index1,
+            b, scene, spec, None, counts, gxs, domain, x0k, x0_shift,
+            row_index0, x1k, x1_shift, row_index1, raw_halo=raw_halo,
         )
     # Semi-implicit lag correction on the fused nodal averages (see
     # fast2d.substep: advance by the known local rates; div = tr C).
@@ -628,22 +643,47 @@ def substep(
         *ext_fields,
     )
 
-    # ---- P2G + grid update ---------------------------------------------
-    expanded = tk3.p2g3d(
-        fields, counts, r1, g, dx, apic=apic, ext=ext, tent=tent, halo1=halo1
-    )
+    # ---- P2G + fold + grid update (rolling-scratch kernel) --------------
     if domain is not None:
-        gs = domain.halo_sync(tk3.fold_rows0_halo(expanded))
+        # Sharded: in-VMEM fold, RAW halo-layout output for the exchange.
+        raw_halo = tk3.p2g3d_grid(
+            fields, counts, r1, g, dx, apic=apic, ext=ext, tent=tent,
+            raw=True,
+        )
+        gs = domain.halo_sync(raw_halo)
+        ri1 = row_index1 if row_index1 is not None else jnp.arange(r1 + 4) - 1
+        grid_ch = _grid_update(gs, scene, ext, row_index0, ri1)
+        pre0 = pre1 = True
+    elif scene.mass_floor > 0.0:
+        # Single chip: fully fused P2G + fold + grid update, G2P-ready
+        # padded output (needs the ABSOLUTE mass floor as a static).
+        grav = tuple(float(x) for x in cfg.gravity_acceleration(scene.physics))
+        wall = "penalty" if cfg.use_penalty_ebc else scene.wall.kind
+        beta = (
+            float(cfg.penalty_parameter(scene.physics))
+            if cfg.use_penalty_ebc else 0.0
+        )
+        grid_ch = tk3.p2g3d_grid(
+            fields, counts, r1, g, dx, apic=apic, ext=ext, tent=tent,
+            dt=float(cfg.dt), grav=grav, floor=float(scene.mass_floor),
+            lo=int(PAD), hi=g - 1 - int(PAD), wall=wall, beta=beta,
+        )
+        pre0 = pre1 = True
     else:
+        expanded = tk3.p2g3d(
+            fields, counts, r1, g, dx, apic=apic, ext=ext, tent=tent,
+            halo1=halo1,
+        )
         gs = tk3.fold_rows0(expanded)
-    grid_ch = _grid_update(gs, scene, ext, row_index0, row_index1)
+        grid_ch = _grid_update(gs, scene, ext, row_index0, row_index1)
+        pre0 = pre1 = False
 
     # ---- G2P ------------------------------------------------------------
     nout = tk3.G2P_OUT_EXT if ext else tk3.G2P_OUT
     out = tk3.g2p3d(
         *gxs, shaped(b.mask),
         counts, grid_ch, dx, 1.0 if tent else dinv, ext=ext,
-        prepadded0=domain is not None, prepadded1=halo1, tent=tent,
+        prepadded0=pre0, prepadded1=pre1, tent=tent,
     ).reshape(r0 * r1, nout, spec.capacity)
     vpic = [out[:, a] for a in range(3)]
     vold = [out[:, 3 + a] for a in range(3)]

@@ -442,11 +442,12 @@ def p2g_fused(
 def _p2g_grid_kernel(
     counts_ref, data_ref, out_ref, scratch,
     *, r: int, g: int, nch: int, kc: int, dx: float, fused: bool,
-    ext: bool, tent: bool, apic: bool, eos: str, kb: float, mu: float,
+    ext: bool, raw: bool, tent: bool, apic: bool, eos: str, kb: float,
+    mu: float,
     gamma: float, fa: float, dt: float, gx_: float, gy_: float, floor: float, lo: int,
     hi: int, wall: str, beta: float,
 ):
-    """Rolling-scratch P2G + fold + grid update — see p2g_grid."""
+    """Rolling-scratch P2G + fold [+ grid update] — see p2g_grid."""
     jrow = pl.program_id(0)
     q = pl.program_id(1)
 
@@ -461,6 +462,12 @@ def _p2g_grid_kernel(
 
         s = jax.lax.rem(jrow + 3, jnp.int32(NT))
         plane = scratch[pl.ds(s, 1)][0]          # (nch, G) folded sums
+        if raw:
+            # Halo layout: raw UNcropped folded sums (slab-shard edge
+            # partial sums ride the exchange; == fold_rows_halo(p2g)).
+            out_ref[0] = plane
+            scratch[pl.ds(s, 1)] = jnp.zeros_like(scratch[pl.ds(s, 1)])
+            return
         t0r = jrow - 2
         m = plane[4]
         # Crop targets outside [0, r) — top-boundary scatter rows must
@@ -538,8 +545,9 @@ def _p2g_grid_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "g", "dx", "fused", "tent", "apic", "eos", "kb", "mu", "gamma",
-        "fa", "dt", "gx_", "gy_", "floor", "lo", "hi", "wall", "beta",
+        "g", "dx", "fused", "raw", "tent", "apic", "eos", "kb", "mu",
+        "gamma", "fa", "dt", "gx_", "gy_", "floor", "lo", "hi", "wall",
+        "beta",
     ),
 )
 def p2g_grid(
@@ -551,18 +559,19 @@ def p2g_grid(
     fused: bool,
     tent: bool,
     apic: bool,
+    raw: bool = False,
     eos: str = "tait",
     kb: float = 0.0,
     mu: float = 0.0,
     gamma: float = 7.0,
     fa: float = 0.0,
-    dt: float,
-    gx_: float,
-    gy_: float,
-    floor: float,
-    lo: int,
-    hi: int,
-    wall: str,
+    dt: float = 0.0,
+    gx_: float = 0.0,
+    gy_: float = 0.0,
+    floor: float = 0.0,
+    lo: int = 0,
+    hi: int = 0,
+    wall: str = "slip",
     beta: float = 0.0,
 ) -> jax.Array:
     """Single-chip fused P2G + fold + grid update (2D): data -> the
@@ -592,12 +601,13 @@ def p2g_grid(
         nch = f - 8
         assert nch in (P2G_CH, P2G_CH_EXT), f
         ext = nch == P2G_CH_EXT
-    gch = G2P_CH_EXT if ext else G2P_CH
+    gch = nch if raw else (G2P_CH_EXT if ext else G2P_CH)
     kc = _chunk(k)
     return pl.pallas_call(
         functools.partial(
             _p2g_grid_kernel,
             r=r, g=g, nch=nch, kc=kc, dx=dx, fused=fused, ext=ext,
+            raw=raw,
             tent=tent, apic=apic, eos=eos, kb=kb, mu=mu, gamma=gamma, fa=fa, dt=dt,
             gx_=gx_, gy_=gy_, floor=floor, lo=lo, hi=hi, wall=wall,
             beta=beta,

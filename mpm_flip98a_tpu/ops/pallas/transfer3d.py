@@ -431,6 +431,8 @@ def _p2g3d_grid_kernel(
     gamma: float,
     fa: float,
     tent: bool,
+    ext: bool,
+    raw: bool,
     dt: float,
     grav,
     floor: float,
@@ -439,7 +441,7 @@ def _p2g3d_grid_kernel(
     wall: str,
     beta: float,
 ):
-    """Rolling-scratch P2G + fold + grid update — see p2g3d_grid."""
+    """Rolling-scratch P2G + fold [+ grid update] — see p2g3d_grid."""
     out_ref = refs[-2]
     scratch = refs[-1]
     in_refs = refs[:-2]
@@ -462,6 +464,13 @@ def _p2g3d_grid_kernel(
 
         s = jax.lax.rem(j + 3, jnp.int32(NT))
         plane = scratch[pl.ds(s, 1)][0]          # (p1, nch, g2t) sums
+        if raw:
+            # Halo layout: raw folded sums, UNcropped on both axes (the
+            # slab shard's edge partial sums ride the exchange; matches
+            # fold_rows0_halo of a halo1-mode expansion exactly).
+            out_ref[0] = plane
+            scratch[pl.ds(s, 1)] = jnp.zeros_like(scratch[pl.ds(s, 1)])
+            return
         m = plane[:, 6]                          # (p1, g2t)
         # Crop targets outside [0, r0) exactly like fold_rows0's [1, r+1)
         # crop: top-boundary scatter rows r0..r0+2 must emit zeros.
@@ -522,6 +531,18 @@ def _p2g3d_grid_kernel(
         for c in range(3):
             out_ref[0, :, c, :] = v[c]
             out_ref[0, :, 3 + c, :] = v0[c]
+        if ext:
+            # Nodal stabilizer averages (fast3d._grid_update ext branch);
+            # Jbar's empty-node default (1.0) stays off the pad rows.
+            v0sum = plane[:, 8]
+            has_v = jnp.logical_and(v0sum > 0, interior)
+            safe_v = jnp.where(has_v, v0sum, 1.0)
+            jbar_dflt = jnp.where(interior, 1.0, 0.0)
+            out_ref[0, :, 6, :] = jnp.where(
+                has_v, plane[:, 7] / safe_v, jbar_dflt
+            )
+            out_ref[0, :, 7, :] = jnp.where(has_v, plane[:, 9] / safe_v, 0.0)
+            out_ref[0, :, 8, :] = jnp.where(has_v, plane[:, 10] / safe_v, 0.0)
         scratch[pl.ds(s, 1)] = jnp.zeros_like(scratch[pl.ds(s, 1)])
 
     @pl.when(j < r0)
@@ -542,7 +563,7 @@ def _p2g3d_grid_kernel(
                     _p2g3d_chunk(
                         in_refs, emit, j, i1, tz, b, q,
                         g2t=g2t, dx=dx, kc=kc,
-                        apic=apic, ext=False, stress=stress, kb=kb, mu=mu,
+                        apic=apic, ext=ext, stress=stress, kb=kb, mu=mu,
                         gamma=gamma, fa=fa, tent=tent,
                     )
             return carry
@@ -554,7 +575,8 @@ def _p2g3d_grid_kernel(
     jax.jit,
     static_argnames=(
         "g1", "g2", "dx", "apic", "stress", "kb", "mu", "gamma", "fa",
-        "tent", "dt", "grav", "floor", "lo", "hi", "wall", "beta",
+        "tent", "ext", "raw", "dt", "grav", "floor", "lo", "hi", "wall",
+        "beta",
     ),
 )
 def p2g3d_grid(
@@ -570,13 +592,15 @@ def p2g3d_grid(
     gamma: float = 7.0,
     fa: float = 0.0,
     tent: bool = False,
+    ext: bool = False,
+    raw: bool = False,
     *,
-    dt: float,
-    grav: tuple,
-    floor: float,
-    lo: int,
-    hi: int,
-    wall: str,
+    dt: float = 0.0,
+    grav: tuple = (0.0, 0.0, 0.0),
+    floor: float = 0.0,
+    lo: int = 0,
+    hi: int = 0,
+    wall: str = "slip",
     beta: float = 0.0,
 ) -> jax.Array:
     """Single-chip fused P2G + fold + grid update (non-ext configs):
@@ -603,17 +627,18 @@ def p2g3d_grid(
     Sharded runs (halo exchange needs raw folded sums) and ext configs
     keep p2g3d + fold_rows0 + the XLA update."""
     r0, r1, k = fields[0].shape
-    nch = P2G_CH
+    nch = P2G_CH_EXT if ext else P2G_CH
     if stress is not None:
-        assert stress in ("linear", "tait")
+        assert stress in ("linear", "tait") and not ext
         n_in = 18
     else:
-        n_in = 3 + 3 + (9 if apic else 0) + 9 + 1
+        n_in = 3 + 3 + (9 if apic else 0) + 9 + 1 + (4 if ext else 0)
     assert len(fields) == n_in, (len(fields), n_in)
-    assert g1 == r1, (g1, r1)  # single-chip: buckets cover the full grid
+    assert g1 == r1, (g1, r1)  # buckets cover the (local) grid window
     kc = _chunk3d(k)
     b1 = _batch1(r1)
     p1 = r1 + NT - 1
+    out_ch = nch if raw else (G2P_CH_EXT if ext else G2P_CH)
     # z tiling: the NT-slot scratch of (p1, nch, g2t) planes is the VMEM
     # driver (same budget role as p2g3d's output block).
     cap_mb = float(__import__("os").environ.get("MPM_P2G3D_BLOCK_MB", "6"))
@@ -635,18 +660,19 @@ def p2g3d_grid(
             _p2g3d_grid_kernel,
             r0=r0, r1=r1, b1=b1, g2t=g2t, dx=dx, kc=kc, apic=apic,
             stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa, tent=tent,
+            ext=ext, raw=raw,
             dt=dt, grav=grav, floor=floor, lo=lo, hi=hi, wall=wall,
             beta=beta,
         ),
         grid=(n_tz, r0 + NT, r1 // b1),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, p1, G2P_CH, g2t),
+            (1, p1, out_ch, g2t),
             lambda tz, j, gq: (jnp.maximum(j - 1, 0), 0, 0, tz),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (r0 + NT - 1, p1, G2P_CH, g2), jnp.float32
+            (r0 + NT - 1, p1, out_ch, g2), jnp.float32
         ),
         scratch_shapes=[pltpu.VMEM((NT, p1, nch, g2t), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
