@@ -1,5 +1,5 @@
 """Component-level timing of the 2D fast path at the bench scale
-(1M particles, 513^2).  Same method as profile3d.py."""
+(1M particles, 513^2)."""
 
 from __future__ import annotations
 
