@@ -113,6 +113,59 @@ def test_p2g_grid_pdata_ext_matches_unfused_pipeline():
     assert not np.asarray(fusedg[r + 1 :]).any()
 
 
+def test_p2g_grid_raw_matches_fold_rows_halo():
+    # Sharded-path contract: raw mode == fold_rows_halo(p2g) bit-for-layout
+    # (UNcropped halo rows, row j = target j - 1), values to fp32
+    # reassociation noise.
+    b, scene, counts, gx0, gx1 = _setup2d()
+    cfg = scene.cfg
+    g, dx = cfg.num_grids, float(cfg.dx)
+    m = b.mass * b.mask
+    z = jnp.zeros_like(b.C00)
+    pdata = jnp.stack(
+        [gx0, gx1, m * b.v0, m * b.v1, z, z, z, z, z, z, z, z, m,
+         b.vol0 * b.J * b.mask], axis=1,
+    )  # (R, 14, K)
+    raw = tk.p2g_grid(
+        pdata, counts, g, dx, fused=False, tent=False, apic=False, raw=True
+    )
+    ref = tk.fold_rows_halo(tk.p2g(pdata, counts, g, dx, apic=False))
+    assert raw.shape == ref.shape == (b.shape[0] + 4, tk.P2G_CH, g)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(ref), atol=1e-6)
+
+
+def test_p2g3d_grid_raw_matches_fold_halo():
+    p, scene = scenes.dam_break_3d(
+        num_grids=16, particles_per_axis=(6, 6, 10), dt=2e-5,
+        dtype=np.float32,
+    )
+    cfg = scene.cfg
+    spec = fast3d.FastSpec3D.for_particles(cfg, p, headroom=2.0)
+    b = fast3d.from_particles(p, cfg, spec)
+    r0, r1, k = spec.rows0, spec.rows1, spec.capacity
+    g, dx = cfg.num_grids, float(cfg.dx)
+    shaped = lambda a: a.reshape(r0, r1, k)
+    counts = jnp.sum(b.mask > 0, axis=1).astype(jnp.int32)
+    invf, padf = jnp.float32(cfg.inv_dx), jnp.float32(PAD)
+    m = b.mass * b.mask
+    z = jnp.zeros_like(b.C00)
+    fields = (
+        shaped(b.x0 * invf + padf), shaped(b.x1 * invf + padf),
+        shaped(b.x2 * invf + padf),
+        shaped(m * b.v0), shaped(m * b.v1), shaped(m * b.v2),
+        *(shaped(z) for _ in range(9)),
+        shaped(m),
+    )
+    raw = tk3.p2g3d_grid(
+        fields, counts, r1, g, dx, apic=False, raw=True
+    )
+    ref = tk3.fold_rows0_halo(
+        tk3.p2g3d(fields, counts, r1, g, dx, apic=False, halo1=True)
+    )
+    assert raw.shape == ref.shape == (r0 + 4, r1 + 4, tk3.P2G_CH, g)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(ref), atol=1e-6)
+
+
 def test_p2g3d_grid_matches_unfused_pipeline():
     p, scene = scenes.dam_break_3d(
         num_grids=16, particles_per_axis=(6, 6, 10), dt=2e-5,
