@@ -63,7 +63,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpm_flip98a_tpu.ops.pallas.transfer2d import (
-    _axis_weights,
     _col_weights,
     _dot,
     _interpret,

@@ -14,7 +14,6 @@ import dataclasses
 import os
 import sys
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ noise, not bit-exactly.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from mpm_flip98a_tpu.models import fast2d, fast3d, scenes

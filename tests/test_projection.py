@@ -8,8 +8,6 @@ substep runs stably with the switch on and the fast paths reject it
 loudly.
 """
 
-import dataclasses
-
 import numpy as np
 import jax.numpy as jnp
 import pytest
