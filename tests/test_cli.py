@@ -70,3 +70,23 @@ def test_cli_multidevice_fast(tmp_path, capsys):
          "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
     )
     assert "Run Time:" in capsys.readouterr().out
+
+
+def test_cli_two_axis_mesh_3d(tmp_path, capsys):
+    # Two-axis (slabs x pencil columns) 3D decomposition from the CLI,
+    # incl. checkpoint + resume of the shard-major bucket state on the
+    # virtual 8-device CPU mesh.
+    ck = str(tmp_path / "ck.npz")
+    main(
+        ["--scenario", "dam3d", "--path", "fast", "--devices", "2x4",
+         "--frames", "1", "--substeps", "3", "--out", str(tmp_path),
+         "--no-gif", "--checkpoint", ck]
+    )
+    assert "Run Time:" in capsys.readouterr().out
+    assert os.path.exists(ck)
+    main(
+        ["--scenario", "dam3d", "--path", "fast", "--devices", "2x4",
+         "--frames", "1", "--substeps", "3",
+         "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
+    )
+    assert "Run Time:" in capsys.readouterr().out
