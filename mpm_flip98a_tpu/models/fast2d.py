@@ -400,7 +400,12 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     fuse_g2p = _os.environ.get("MPM_FUSE2D_G2P", "0") == "1"
     # Single chip: ONE kernel runs P2G + fold + grid update (rolling
     # scratch, tk.p2g_grid) and emits the g2p-ready padded grid.
-    use_fu = domain is None and grid_reduce is None and scene.mass_floor > 0.0
+    # MPM_P2G_GRID=0 re-selects the unfused p2g + fold + XLA-update
+    # pipeline for A/B probes.
+    use_fu = (
+        domain is None and grid_reduce is None and scene.mass_floor > 0.0
+        and _os.environ.get("MPM_P2G_GRID", "1") != "0"
+    )
     grid4 = None
     if fused:
         fields = (

@@ -494,7 +494,11 @@ def substep(
             shaped(b.J), shaped(b.mass), shaped(b.vol0),
         )
         eos_name = "linear" if scene.params.eos == EOSKind.LINEAR else "tait"
-        if domain is None and scene.mass_floor > 0.0:
+        import os as _os
+        if (
+            domain is None and scene.mass_floor > 0.0
+            and _os.environ.get("MPM_P2G_GRID", "1") != "0"
+        ):
             # Single chip: fused P2G + fold + grid update in ONE kernel
             # (rolling-scratch accumulation — no expanded intermediate,
             # no XLA fold/update passes, G2P-ready padded output).
@@ -654,7 +658,9 @@ def substep(
         ri1 = row_index1 if row_index1 is not None else jnp.arange(r1 + 4) - 1
         grid_ch = _grid_update(gs, scene, ext, row_index0, ri1)
         pre0 = pre1 = True
-    elif scene.mass_floor > 0.0:
+    elif scene.mass_floor > 0.0 and __import__("os").environ.get(
+        "MPM_P2G_GRID", "1"
+    ) != "0":
         # Single chip: fully fused P2G + fold + grid update, G2P-ready
         # padded output (needs the ABSOLUTE mass floor as a static).
         grav = tuple(float(x) for x in cfg.gravity_acceleration(scene.physics))
