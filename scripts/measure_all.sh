@@ -1,0 +1,27 @@
+#!/bin/bash
+# One-shot TPU measurement sweep: every headline metric + the validation
+# protocol, appended to $LOG (default /tmp/measure_all.log).  Run after
+# kernel changes once a real chip is reachable.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${LOG:-/tmp/measure_all.log}
+PY=${PY:-python}
+echo "==== measure_all $(date -Is) commit $(git rev-parse --short HEAD)" | tee -a "$LOG"
+
+run() {
+  echo "---- $1" | tee -a "$LOG"
+  shift
+  timeout 1500 "$@" 2>&1 | tail -12 | tee -a "$LOG"
+}
+
+run "validation protocol (PoU, taps, 500-substep stability)" \
+    env PYTHONPATH=.:/root/.axon_site "$PY" scripts/validate_dots.py
+run "2D stage profile (p2g_grid path)" \
+    env PYTHONPATH=.:/root/.axon_site "$PY" scripts/profile2d_loop.py
+run "2D bench" env BENCH_2D_ONLY=1 "$PY" bench.py
+run "2D bench (unfused A/B)" env BENCH_2D_ONLY=1 MPM_P2G_GRID=0 "$PY" bench.py
+run "3D small bench" env BENCH_3D=1 BENCH_3D_SMALL=1 "$PY" bench.py
+run "3D full bench (8M/256^3)" env BENCH_3D=1 "$PY" bench.py
+run "3D stage profile" \
+    env PYTHONPATH=.:/root/.axon_site BENCH_3D_SMALL=1 "$PY" scripts/profile3d_loop.py
+echo "==== done $(date -Is)" | tee -a "$LOG"
