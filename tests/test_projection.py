@@ -70,6 +70,38 @@ def test_projection_near_idempotent():
     assert d2 < 0.2 * d1, (d1, d2)
 
 
+def test_projection_hydrostatic_column():
+    """A contained column falling uniformly at speed c must come to rest:
+    div(v) is zero in the bulk, but the rigid floor sources the Poisson
+    solve (backward difference sees the wall), and with the free-surface
+    Dirichlet above, q comes out linear in depth (discrete hydrostatic
+    pressure) whose gradient cancels the fall EXACTLY through the column.
+    This pins the Neumann-wall + Dirichlet-surface combination."""
+    g = 40
+    lo, hi = int(PAD), g - 1 - int(PAD)
+    m = np.zeros((g, g), np.float32)
+    # Column: full width, resting on the floor, free surface mid-domain.
+    m[lo + 1 : hi, lo + 1 : lo + 1 + 15] = 1.0   # axis 1 = vertical here
+    c = 0.7
+    v = np.zeros((g, g, 2), np.float32)
+    v[..., 1] = -c * m
+    v2, q, _ = projection.project(
+        jnp.asarray(v), jnp.asarray(m), 0.5, dx=0.01, lo=lo, hi=hi,
+        iters=400, tol=1e-8,
+    )
+    fluid = m > 0
+    core = fluid.copy()
+    for a in range(2):
+        core &= np.roll(fluid, 1, a) & np.roll(fluid, -1, a)
+    vmax = np.abs(np.asarray(v2)[core]).max()
+    assert vmax < 0.02 * c, vmax
+    # q decreases monotonically from floor to surface along the column
+    # (hydrostatic), at every interior x.
+    qn = np.asarray(q)
+    col = qn[g // 2, lo + 1 : lo + 1 + 15]
+    assert (np.diff(col) < 1e-6).all(), col
+
+
 def _incompressible_cfg():
     return MPMConfig(
         dtype="float32", num_grids=33, dt=1e-5,
