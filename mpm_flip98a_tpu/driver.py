@@ -20,6 +20,7 @@ CLI:  python -m mpm_flip98a_tpu [--scenario dam2d] [--frames 30] ...
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -290,36 +291,45 @@ class Simulation:
         self._io_futures.clear()
 
     def save_checkpoint(self, path: str) -> None:
-        ckpt.save(
-            path,
-            self.state,
-            meta={
-                "total_time": self.total_time,
-                "frame_count": self.frame_count,
-                "path": self.path,
-            },
-        )
+        """Format by suffix: '*.npz' = single-file host-gather npz;
+        anything else = per-shard Orbax DIRECTORY (pod-scale path: each
+        chip serialises its own slices, no host gather)."""
+        meta = {
+            "total_time": self.total_time,
+            "frame_count": self.frame_count,
+            "path": self.path,
+        }
+        if path.endswith(".npz"):
+            ckpt.save(path, self.state, meta=meta)
+        else:
+            ckpt.save_sharded(path, self.state, meta=meta)
 
     def restore_checkpoint(self, path: str) -> None:
-        if self.path == "fast":
-            state_type = (
-                fast3d.FluidBuckets3D if self.cfg.dim == 3 else fast2d.FluidBuckets
-            )
+        if not path.endswith(".npz") and os.path.isdir(path):
+            # Orbax directory: restore straight onto the current state's
+            # shardings (the freshly distributed template) — no gather.
+            self.state = ckpt.load_sharded(path, self.state)
+            meta = ckpt.load_sharded_meta(path)
         else:
-            state_type = type(self.state)
-        self.state = ckpt.load(path, state_type)
-        if self.devices > 1:
-            # Re-place the restored (host) bucket state onto the mesh —
-            # axis 0 of every field is the slab axis.
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            if self.path == "fast":
+                state_type = (
+                    fast3d.FluidBuckets3D if self.cfg.dim == 3 else fast2d.FluidBuckets
+                )
+            else:
+                state_type = type(self.state)
+            self.state = ckpt.load(path, state_type)
+            if self.devices > 1:
+                # Re-place the restored (host) bucket state onto the mesh —
+                # axis 0 of every field is the slab axis.
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            pspec = P(("x", "y")) if self.device_grid is not None else P("x")
-            sharding = NamedSharding(self.mesh, pspec)
-            self.state = jax.tree.map(
-                lambda a: jax.device_put(a, sharding), self.state
-            )
-        meta = ckpt.load_meta(path)
+                pspec = P(("x", "y")) if self.device_grid is not None else P("x")
+                sharding = NamedSharding(self.mesh, pspec)
+                self.state = jax.tree.map(
+                    lambda a: jax.device_put(a, sharding), self.state
+                )
+            meta = ckpt.load_meta(path)
         self.total_time = meta["total_time"]
         self.frame_count = meta["frame_count"]
         self._host_cache = None  # restored state invalidates the frame cache

@@ -59,3 +59,49 @@ def load(path: str, state_type: Type) -> Any:
 def load_meta(path: str) -> dict:
     with np.load(_npz_path(path), allow_pickle=False) as z:
         return json.loads(str(z["__manifest__"]))["meta"]
+
+
+# ---------------------------------------------------------------------------
+# Sharded (Orbax) checkpoints — pod-scale path
+# ---------------------------------------------------------------------------
+#
+# The npz path above gathers the whole state to the host — fine on one
+# chip, a bottleneck at pod scale where the bucket state is sharded over
+# the mesh.  These write per-shard with Orbax (each chip serialises its
+# own slices) and restore onto a TEMPLATE pytree carrying the target
+# shardings, so no host-side gather or re-placement copy happens.
+
+
+def save_sharded(path: str, state: Any, meta: dict | None = None) -> None:
+    """Per-shard Orbax checkpoint of a (possibly sharded) pytree at the
+    DIRECTORY `path`; `meta` rides a JSON sidecar next to it."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"type": type(state).__name__, "meta": meta or {}}, f)
+
+
+def load_sharded(path: str, template: Any) -> Any:
+    """Restore an Orbax checkpoint onto `template` — a matching pytree of
+    arrays or ShapeDtypeStructs whose shardings define the placement
+    (e.g. the freshly `distribute`d state on the target mesh)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    abstract = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            a.shape, a.dtype, sharding=getattr(a, "sharding", None)
+        ),
+        template,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def load_sharded_meta(path: str) -> dict:
+    with open(os.path.abspath(path) + ".meta.json") as f:
+        return json.load(f)["meta"]

@@ -90,3 +90,26 @@ def test_cli_two_axis_mesh_3d(tmp_path, capsys):
          "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
     )
     assert "Run Time:" in capsys.readouterr().out
+
+
+def test_cli_orbax_sharded_checkpoint(tmp_path, capsys):
+    # Pod-scale checkpoint path: non-.npz checkpoint => per-shard Orbax
+    # directory (no host gather), restored straight onto the mesh.
+    ck = str(tmp_path / "ck_orbax")
+    main(
+        ["--scenario", "dam2d_flip98", "--path", "fast", "--devices", "4",
+         "--frames", "1", "--substeps", "3", "--out", str(tmp_path),
+         "--no-gif", "--checkpoint", ck]
+    )
+    assert "Run Time:" in capsys.readouterr().out
+    assert os.path.isdir(ck) and os.path.exists(ck + ".meta.json")
+    main(
+        ["--scenario", "dam2d_flip98", "--path", "fast", "--devices", "4",
+         "--frames", "1", "--substeps", "3",
+         "--out", str(tmp_path / "resumed"), "--no-gif", "--resume", ck]
+    )
+    assert "Run Time:" in capsys.readouterr().out
+    # Frame numbering continues across the Orbax resume.
+    movs = [d for d in os.listdir(tmp_path / "resumed") if d.startswith("mov_")]
+    frames = sorted(os.listdir(tmp_path / "resumed" / movs[0]))
+    assert frames == ["00002.png"], frames
