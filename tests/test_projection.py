@@ -131,3 +131,22 @@ def test_fast_paths_reject_incompressible():
     b = fast2d.from_particles(p, scene.cfg, spec)
     with pytest.raises(NotImplementedError):
         fast2d.substep(b, scene)
+
+
+def test_incompressible_golden_stats():
+    """Pinned 200-substep statistics for the incompressible dam column
+    (CPU fp32 deterministic): a regression in the projection's coupling
+    to the solver (BC masks, RHS sign, gradient application) moves the
+    center of mass / spread / |J-1| well outside these bands."""
+    p, scene = scenes.dam_break_2d(_incompressible_cfg(), dtype=np.float32)
+    p1 = run_ref(p, scene, 200)
+    x = np.asarray(p1.x)
+    np.testing.assert_allclose(
+        x.mean(0), [0.052505, 0.104992], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        x.std(0), [0.030286, 0.060605], atol=2e-4
+    )
+    # Volume stays pinned (the point of the projection): |J-1| two orders
+    # tighter than the weakly-compressible EOS at this dt.
+    assert np.abs(np.asarray(p1.J) - 1).max() < 5e-4
