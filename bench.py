@@ -15,6 +15,14 @@ line, and the multichip halo-comm split (CPU-mesh subprocess) — and embeds
 the secondary metrics under detail.d3 / detail.multichip so the driver's
 captured artifact evidences all of them (VERDICT r2 item 2).
 
+Outage-proofing (VERDICT r3 item 2): every leg runs under its own watchdog
+deadline with one bounded retry; a leg that wedges (the documented axon
+tunnel failure mode — an op that blocks forever) triggers the watchdog,
+which prints the PARTIAL artifact (whatever legs completed, plus an
+explicit per-leg error) and exits.  A single outage can no longer zero
+the whole artifact.  detail.knobs records the kernel-selection env vars
+so every artifact is self-describing for A/B comparisons.
+
 Env knobs:
   BENCH_SMALL=1      tiny CPU-friendly smoke configuration (2D only)
   BENCH_3D=1         run ONLY the 3D leg (8M particles, 256^3 — the full
@@ -28,14 +36,97 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
+# Kernel-selection knobs recorded into every artifact (A/B self-description).
+_KNOB_NAMES = (
+    "MPM_DOT_MODE", "MPM_P2G_GRID", "MPM_FUSE2D", "MPM_FUSE2D_G2P",
+    "MPM_KC2D", "MPM_KC3D",
+)
+
+# Partial artifact assembled as legs complete; the watchdog prints this on a
+# wedge so completed legs survive a mid-run outage.
+_result: dict = {
+    "metric": "particle_grid_transfer_ops_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "ops/s",
+    "vs_baseline": 0.0,
+    "detail": {},
+}
+_emitted = threading.Event()
+
+
+def _emit(rc: int | None = None):
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    print(json.dumps(_result), flush=True)
+    if rc is not None:
+        os._exit(rc)
+
+
+class _Watchdog:
+    """Per-leg deadline.  A wedged device op cannot be interrupted from
+    Python, so on expiry the watchdog prints the partial artifact and
+    hard-exits — an explicit per-leg error beats a silent hang."""
+
+    def __init__(self):
+        self._deadline = None  # (leg_name, monotonic_deadline)
+        self._lock = threading.Lock()
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def arm(self, leg: str, budget_s: float):
+        with self._lock:
+            self._deadline = (leg, time.monotonic() + budget_s)
+
+    def disarm(self):
+        with self._lock:
+            self._deadline = None
+
+    def _loop(self):
+        while True:
+            time.sleep(2.0)
+            with self._lock:
+                d = self._deadline
+            if d is None:
+                continue
+            leg, t_end = d
+            if time.monotonic() > t_end:
+                _result["detail"].setdefault("errors", {})[leg] = (
+                    "watchdog: leg did not complete within its budget "
+                    "(backend tunnel wedge/outage); partial artifact emitted"
+                )
+                _emit(rc=3)
+
+
+_dog: _Watchdog | None = None
+
+
+def _run_leg(name: str, fn, budget_s: float, retries: int = 1):
+    """Run one bench leg under the watchdog with bounded retry.
+
+    Returns the leg's result dict, or None if every attempt raised (the
+    error is recorded in detail.errors).  A *hang* never returns — the
+    watchdog emits the partial artifact and exits."""
+    errs = _result["detail"].setdefault("errors", {})
+    for attempt in range(retries + 1):
+        _dog.arm(name, budget_s)
+        try:
+            out = fn()
+            _dog.disarm()
+            errs.pop(name, None)
+            return out
+        except Exception as e:  # noqa: BLE001 — per-leg isolation
+            _dog.disarm()
+            errs[name] = f"attempt {attempt + 1}: {e!r}"
+    return None
+
 
 def build_workload(small: bool):
-    import jax.numpy as jnp
-
     from mpm_flip98a_tpu.config import MPMConfig, TransferKind
     from mpm_flip98a_tpu.models import scenes
 
@@ -115,9 +206,8 @@ def main_multichip(n_sub: int):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
-    import jax.numpy as jnp
     from mpm_flip98a_tpu.config import MPMConfig, TransferKind
-    from mpm_flip98a_tpu.models import fast2d, scenes
+    from mpm_flip98a_tpu.models import scenes
     from mpm_flip98a_tpu.parallel import make_mesh
     from mpm_flip98a_tpu.parallel import fast_domain
 
@@ -165,7 +255,10 @@ def main_multichip(n_sub: int):
 def _multichip_subprocess(n_sub: int):
     """Run the multichip CPU-mesh leg in a subprocess (it needs the CPU
     platform with 8 virtual devices, which cannot coexist with the live
-    TPU backend in this process) and return its parsed JSON line."""
+    TPU backend in this process) and return its parsed JSON line.
+
+    The subprocess takes the BENCH_MULTICHIP early-return BEFORE any
+    device probe, so it never touches the TPU backend (ADVICE r3)."""
     import subprocess
     import sys
 
@@ -186,15 +279,14 @@ def _multichip_subprocess(n_sub: int):
         return {"error": repr(e)}
 
 
-def _device_alive(timeout_s: float = 180.0) -> bool:
-    """Probe the default backend with a trivial op under a watchdog.
+def _device_probe(timeout_s: float = 180.0) -> bool:
+    """Probe the default backend with a trivial op under a thread deadline.
 
     The remote-tunnel backend can wedge at the device-claim step (seen:
-    a multi-hour infra outage where the first op blocks forever).  A
-    hang here would swallow the whole bench invocation; an explicit
-    error artifact is strictly better evidence."""
-    import threading
-
+    a multi-hour infra outage where the first op blocks forever).  The
+    probe thread is left running on timeout (daemon) — killing a client
+    mid-claim is the documented wedge trigger, so we never interrupt it,
+    we just stop waiting."""
     ok = []
 
     def probe():
@@ -212,29 +304,7 @@ def _device_alive(timeout_s: float = 180.0) -> bool:
     return bool(ok)
 
 
-def main():
-    small = os.environ.get("BENCH_SMALL") == "1"
-    n_sub = int(os.environ.get("BENCH_SUBSTEPS", "16" if small else "200"))
-    if not _device_alive():
-        print(json.dumps({
-            "metric": "particle_grid_transfer_ops_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "ops/s",
-            "vs_baseline": 0.0,
-            "detail": {
-                "error": "device unreachable: first trivial op did not "
-                "complete within 180 s (backend tunnel outage; rerun "
-                "scripts/measure_all.sh when the chip is back)",
-            },
-        }))
-        return
-    if os.environ.get("BENCH_MULTICHIP") == "1":
-        print(json.dumps(main_multichip(min(n_sub, 100))))
-        return
-    if os.environ.get("BENCH_3D") == "1":
-        print(json.dumps(main3d(min(n_sub, 50))))
-        return
-
+def main2d(n_sub: int, small: bool) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -265,11 +335,8 @@ def main():
 
     transfer_ops = n * stencil * 2 * n_sub
     value = transfer_ops / elapsed
-    result = {
-        "metric": "particle_grid_transfer_ops_per_sec_per_chip",
+    return {
         "value": value,
-        "unit": "ops/s",
-        "vs_baseline": value / 1e9,
         "detail": {
             "particles": n,
             "grid": scene.cfg.num_grids,
@@ -280,13 +347,63 @@ def main():
             "backend": jax.devices()[0].platform,
         },
     }
+
+
+def main():
+    global _dog
+    small = os.environ.get("BENCH_SMALL") == "1"
+    n_sub = int(os.environ.get("BENCH_SUBSTEPS", "16" if small else "200"))
+
+    # CPU-mesh leg FIRST: it must never touch (or probe) the TPU backend —
+    # jax_num_cpu_devices has to be set before backend init (ADVICE r3).
+    if os.environ.get("BENCH_MULTICHIP") == "1":
+        print(json.dumps(main_multichip(min(n_sub, 100))))
+        return
+
+    _dog = _Watchdog()
+    _result["detail"]["knobs"] = {
+        k: os.environ.get(k) for k in _KNOB_NAMES if os.environ.get(k)
+    }
+
+    if not _device_probe():
+        _result["detail"].setdefault("errors", {})["device"] = (
+            "device unreachable: first trivial op did not complete within "
+            "180 s (backend tunnel outage; rerun scripts/measure_all.sh "
+            "when the chip is back)"
+        )
+        _emit()
+        return
+
+    if os.environ.get("BENCH_3D") == "1":
+        _result["metric"] = "particle_grid_transfer_ops_per_sec_per_chip_3d"
+        d3 = _run_leg("d3", lambda: main3d(min(n_sub, 50)), budget_s=1500)
+        if d3 is not None:
+            _result.update(value=d3["value"], vs_baseline=d3["vs_baseline"])
+            _result["detail"].update(d3["detail"])
+        _emit()
+        return
+
+    r2d = _run_leg("d2", lambda: main2d(n_sub, small), budget_s=1500)
+    if r2d is not None:
+        _result["value"] = r2d["value"]
+        _result["vs_baseline"] = r2d["value"] / 1e9
+        _result["detail"].update(r2d["detail"])
     if not small and os.environ.get("BENCH_2D_ONLY") != "1":
         # Secondary headline metrics, same invocation (VERDICT r2 item 2):
         # 3D at full BASELINE scale on this chip, then the multichip
         # comm-split sanity leg on a CPU-mesh subprocess.
-        result["detail"]["d3"] = main3d(min(n_sub, 50))
-        result["detail"]["multichip"] = _multichip_subprocess(min(n_sub, 100))
-    print(json.dumps(result))
+        d3 = _run_leg("d3", lambda: main3d(min(n_sub, 50)), budget_s=1500)
+        if d3 is not None:
+            _result["detail"]["d3"] = d3
+        mc = _run_leg(
+            "multichip", lambda: _multichip_subprocess(min(n_sub, 100)),
+            budget_s=1300,
+        )
+        if mc is not None:
+            _result["detail"]["multichip"] = mc
+    if not _result["detail"].get("errors"):
+        _result["detail"].pop("errors", None)
+    _emit()
 
 
 if __name__ == "__main__":

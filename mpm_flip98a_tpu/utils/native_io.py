@@ -27,13 +27,17 @@ def _load():
     global _lib, _unavailable
     if _lib is not None or _unavailable:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "libmpm_frame_io.so"],
-                check=True, capture_output=True,
-            )
-        except Exception:
+    # Always invoke make: its timestamp check is a no-op when the .so is
+    # fresh, and it rebuilds after frame_io.cpp edits instead of silently
+    # loading a stale binary (advisor r3).  A missing toolchain only
+    # matters when there is no usable .so at all.
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "libmpm_frame_io.so"],
+            check=True, capture_output=True,
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             _unavailable = True
             return None
     try:

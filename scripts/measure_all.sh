@@ -20,8 +20,16 @@ run "2D stage profile (p2g_grid path)" \
     env PYTHONPATH=.:/root/.axon_site "$PY" scripts/profile2d_loop.py
 run "2D bench" env BENCH_2D_ONLY=1 "$PY" bench.py
 run "2D bench (unfused A/B)" env BENCH_2D_ONLY=1 MPM_P2G_GRID=0 "$PY" bench.py
+run "2D bench (fused G2P A/B)" env BENCH_2D_ONLY=1 MPM_FUSE2D_G2P=1 "$PY" bench.py
+run "2D bench (KC=2048 A/B)" env BENCH_2D_ONLY=1 MPM_KC2D=2048 "$PY" bench.py
+run "2D bench (KC=512 A/B)" env BENCH_2D_ONLY=1 MPM_KC2D=512 "$PY" bench.py
 run "3D small bench" env BENCH_3D=1 BENCH_3D_SMALL=1 "$PY" bench.py
 run "3D full bench (8M/256^3)" env BENCH_3D=1 "$PY" bench.py
+run "3D full bench (KC A/B)" env BENCH_3D=1 MPM_KC3D=1024 "$PY" bench.py
 run "3D stage profile" \
     env PYTHONPATH=.:/root/.axon_site BENCH_3D_SMALL=1 "$PY" scripts/profile3d_loop.py
+echo "---- end-to-end reference workload (3 s / 3M substeps / 300 frames)" | tee -a "$LOG"
+timeout 2400 "$PY" -m mpm_flip98a_tpu --scenario dam2d --path fast \
+    --frames 300 --substeps 10000 --out /tmp/endtoend_r4 --no-gif \
+    2>&1 | tail -6 | tee -a "$LOG"
 echo "==== done $(date -Is)" | tee -a "$LOG"
