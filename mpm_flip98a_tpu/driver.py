@@ -63,6 +63,11 @@ SCENARIOS = {
             incompressible=True,
         )
     ),
+    # PRODUCTION snow material (materials.SNOW): hardening-scaled fixed
+    # corotated with tracked plastic volume Jp — the validation solver's
+    # full snow model (mls-mpm88-explained.cpp:17-19,67-69,164-177) in
+    # the production material system.
+    "snow2d": lambda: scenes.snow_block_2d(),
 }
 
 
@@ -198,10 +203,13 @@ class Simulation:
         else:
             mats = np.asarray(self.state.material)
         palette = np.array(
-            [render._hex_rgb(c) for c in (0x2986CC, 0xED553B, 0xF2B134)],
+            [
+                render._hex_rgb(c)
+                for c in (0x2986CC, 0xED553B, 0xF2B134, 0xEDEDF4)  # snow: white
+            ],
             np.uint8,
         )
-        return palette[np.clip(mats, 0, 2)]
+        return palette[np.clip(mats, 0, len(palette) - 1)]
 
     # -- stepping --------------------------------------------------------
 

@@ -69,6 +69,7 @@ class FluidBuckets:
     mass: jax.Array
     vol0: jax.Array
     mat: jax.Array       # int32 material id (models/materials.py)
+    Jp: jax.Array        # plastic volume ratio (SNOW hardening state)
     # Fused-stabilization state (one-substep-lag nodal averages; only
     # meaningful when use_fbar / pressure mixing is on):
     jbar_s: jax.Array    # gathered nodal volume-ratio average
@@ -110,7 +111,7 @@ def _field_list(b: FluidBuckets):
         b.x0, b.x1, b.v0, b.v1,
         b.C00, b.C01, b.C10, b.C11,
         b.F00, b.F01, b.F10, b.F11,
-        b.J, b.mass, b.vol0, b.mat,
+        b.J, b.mass, b.vol0, b.mat, b.Jp,
         b.jbar_s, b.p_s, b.div_s,
     )
 
@@ -125,7 +126,8 @@ def _safe_dead_slots(b: FluidBuckets) -> FluidBuckets:
     on = b.mask > 0
     one = lambda a: jnp.where(on, a, jnp.ones_like(a))
     return dataclasses.replace(
-        b, J=one(b.J), F00=one(b.F00), F11=one(b.F11), jbar_s=one(b.jbar_s)
+        b, J=one(b.J), F00=one(b.F00), F11=one(b.F11),
+        Jp=one(b.Jp), jbar_s=one(b.jbar_s),
     )
 
 
@@ -164,6 +166,7 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets
         to32(p.F)[:, 1, 0], to32(p.F)[:, 1, 1],
         to32(p.J), to32(p.mass), to32(p.volume0),
         p.material.astype(jnp.int32),
+        to32(p.Jp),
         to32(p.J),                      # jbar_s init = J
         jnp.zeros((n,), jnp.float32),   # p_s
         jnp.zeros((n,), jnp.float32),   # div_s
@@ -180,7 +183,7 @@ def to_host(b: FluidBuckets) -> dict:
     """Host-side dense view of active slots (diagnostics / IO)."""
     mask = np.asarray(b.mask) > 0
     out = {}
-    for name in ("x0", "x1", "v0", "v1", "J", "mass", "vol0", "mat"):
+    for name in ("x0", "x1", "v0", "v1", "J", "mass", "vol0", "mat", "Jp"):
         out[name] = np.asarray(getattr(b, name))[mask]
     return out
 
@@ -201,7 +204,7 @@ def _axis_bands2d(cfg: MPMConfig, nrows: int, row_index0=None):
 
 
 def _grid_update2d(
-    gridsum, scene: Scene, ext: bool, grid_shape, row_index0
+    gridsum, scene: Scene, ext: bool, grid_shape, row_index0, domain=None
 ):
     """Grid momentum update on the ROW-LEADING (R, nch, G) fold output;
     returns grid4 (R, gch, G) for g2p.
@@ -228,6 +231,27 @@ def _grid_update2d(
     v0y = jnp.where(has, gridsum[:, 1] / safe, 0.0)
     grav = np.asarray(cfg.gravity_acceleration(scene.physics), np.float32)
     low0, high0, low1, high1 = _axis_bands2d(cfg, gridsum.shape[0], row_index0)
+    if cfg.surface_tension > 0.0:
+        # CSF surface tension on the fast path's (R, G) mass plane — same
+        # grid-side force as the general path (stabilized._csf_force is
+        # dim-agnostic); sharded slabs reuse the gather-only halo refresh
+        # (VERDICT r3 item 5).  Momentum increment dt * F/V * (m/rho),
+        # added to the momentum sums BEFORE the mass solve + wall BC,
+        # matching the general path's rhs ordering.
+        from mpm_flip98a_tpu.models.stabilized import GridContext, _csf_force
+
+        csf_ctx = None
+        if domain is not None:
+            csf_ctx = GridContext(
+                node_shape=None, cell_shape=None,
+                axis=domain.axis, halo_exchange=domain.halo_gather_only,
+            )
+        f_st = _csf_force(g_m, cfg, scene.physics, jnp.float32, csf_ctx)
+        st_scale = dt * g_m / jnp.float32(scene.physics.particle_density)
+        st_x = f_st[..., 0] * st_scale
+        st_y = f_st[..., 1] * st_scale
+    else:
+        st_x = st_y = None
     if cfg.use_penalty_ebc:
         # Implicit normal-velocity penalty (same formulation as the general
         # path, models/stabilized.py): (m I + dt beta n(x)n) v = m v* + dt m g;
@@ -238,12 +262,20 @@ def _grid_update2d(
         pen1 = (low1 | high1).astype(jnp.float32)
         rhs_x = gridsum[:, 2] + (dt * grav[0]) * g_m
         rhs_y = gridsum[:, 3] + (dt * grav[1]) * g_m
+        if st_x is not None:
+            rhs_x = rhs_x + st_x
+            rhs_y = rhs_y + st_y
         vx = jnp.where(has, rhs_x / (g_m + (dt * beta) * pen0), 0.0)
         vy = jnp.where(has, rhs_y / (g_m + (dt * beta) * pen1), 0.0)
     else:
         hasf = has.astype(jnp.float32)
         vx = jnp.where(has, gridsum[:, 2] / safe, 0.0) + (dt * grav[0]) * hasf
         vy = jnp.where(has, gridsum[:, 3] / safe, 0.0) + (dt * grav[1]) * hasf
+        if st_x is not None:
+            # (mv + dt F m/rho)/m == mv/m + (dt F m/rho)/m: identical to
+            # the general path's rhs form, and bitwise a no-op when off.
+            vx = vx + jnp.where(has, st_x / safe, 0.0)
+            vy = vy + jnp.where(has, st_y / safe, 0.0)
         # Slip/sticky walls, semantics of models/stabilized._apply_wall_bc:
         # slip clamps the outgoing normal component per axis band.
         if scene.wall.kind == "sticky":
@@ -255,6 +287,29 @@ def _grid_update2d(
             vx = jnp.where(high0, jnp.minimum(vx, 0.0), vx)
             vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
             vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
+    if cfg.incompressible:
+        # Chorin projection on the fast path's (R, G) velocity planes —
+        # consumes only grid data the fast path already owns (VERDICT r3
+        # item 4).  Sharded slabs: psum dots + gather-only halo refresh
+        # per CG iteration, owned rows [1, 1 + L) of the (L + 4, G)
+        # fold buffer (H_LO = 1 below, H_HI = 3 above).
+        from mpm_flip98a_tpu.models import projection as _proj
+
+        own = None
+        halo = None
+        ax = None
+        if domain is not None:
+            rr = gridsum.shape[0]
+            rows_idx = jnp.arange(rr)
+            own = (rows_idx >= 1) & (rows_idx < rr - 3)
+            halo = domain.halo_gather_only
+            ax = domain.axis
+        (vx, vy), _, _ = _proj.project_planes(
+            (vx, vy), g_m, _mass_floor(scene, g_m),
+            dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
+            iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
+            row_index0=row_index0, axis=ax, halo=halo, own=own,
+        )
     gch = [vx, vy, v0x, v0y]
     if ext:
         # Nodal averages for the NEXT substep's stress: Jbar, p, div.
@@ -311,7 +366,7 @@ def _finish_fused(
             gridsum = tk.fold_rows(expanded)
         if grid_reduce is not None:
             gridsum = grid_reduce(gridsum)
-        grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0)
+        grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0, domain)
         pre = domain is not None
     else:
         pre = True
@@ -342,17 +397,6 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     and the wall masks use global row indices."""
     cfg = scene.cfg
     assert cfg.dim == 2
-    if cfg.surface_tension > 0.0:
-        raise NotImplementedError(
-            "CSF surface tension is implemented in the general path only "
-            "(models/stabilized.py); run surface_tension > 0 scenes with "
-            "path='general'"
-        )
-    if cfg.incompressible:
-        raise NotImplementedError(
-            "incompressible projection is implemented in the general path "
-            "only (models/projection.py); run with path='general'"
-        )
     g = cfg.num_grids
     dt = jnp.float32(cfg.dt)
     dx = float(cfg.dx)
@@ -402,8 +446,12 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     # scratch, tk.p2g_grid) and emits the g2p-ready padded grid.
     # MPM_P2G_GRID=0 re-selects the unfused p2g + fold + XLA-update
     # pipeline for A/B probes.
+    # Grid-side extensions (CSF / incompressible projection) run in XLA on
+    # the updated planes, so the in-kernel grid update must stand down.
+    ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
     use_fu = (
         domain is None and grid_reduce is None and scene.mass_floor > 0.0
+        and not ext_grid
         and _os.environ.get("MPM_P2G_GRID", "1") != "0"
     )
     grid4 = None
@@ -506,9 +554,17 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
                 t11 = b.vol0 * (mu_s * (b.F10**2 + b.F11**2 - 1.0) + lj)
                 t01 = b.vol0 * mu_s * (b.F00 * b.F10 + b.F01 * b.F11)
                 t10 = t01
-            else:  # FIXED_COROTATED: V0 (2 mu (F - R) F^T + lam (Jf - 1) Jf I)
+            else:  # FIXED_COROTATED / SNOW: V0 (2 mu (F-R) F^T + lam (Jf-1) Jf I)
                 mu_s = jnp.float32(scene.params.mu)
                 lam_s = jnp.float32(scene.params.lam)
+                if mid == mat.SNOW:
+                    # Hardening-scaled Lame parameters from the tracked
+                    # plastic volume (mls-mpm88-explained.cpp:67-69).
+                    h = jnp.exp(
+                        jnp.float32(scene.params.hardening) * (1.0 - b.Jp)
+                    )
+                    mu_s = mu_s * h
+                    lam_s = lam_s * h
                 jf = b.F00 * b.F11 - b.F01 * b.F10
                 px = b.F00 + b.F11
                 py = b.F10 - b.F01
@@ -581,7 +637,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
                 raw=True,
             )
         gridsum = domain.halo_sync(raw_halo)
-        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0)
+        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0, domain)
     elif pdata is not None and use_fu:
         grid4 = _p2g_grid(
             pdata, counts, scene, fused=False, tent=tent, apic=apic
@@ -657,13 +713,18 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     f01 = (1 + dt * c00) * b.F01 + dt * c01 * b.F11
     f10 = dt * c10 * b.F00 + (1 + dt * c11) * b.F10
     f11 = dt * c10 * b.F01 + (1 + dt * c11) * b.F11
-    if scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present:
-        # Snow-plasticity singular-value clamp (mls-mpm88:164-170).  Dead
-        # slots are parked at F = I, which the clamp leaves unchanged.
+    jp_new = b.Jp
+    if (scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present) \
+            or mat.SNOW in scene.materials_present:
+        # Snow-plasticity singular-value clamp + Jp tracking
+        # (mls-mpm88:164-177).  Dead slots are parked at F = I, Jp = 1,
+        # which the clamp leaves unchanged.
         fm = jnp.stack(
             [jnp.stack([f00, f01], -1), jnp.stack([f10, f11], -1)], -2
         )
-        fm = mat.plastic_clamp(scene.params, b.mat, fm, scene.materials_present)
+        fm, jp_new = mat.plastic_update(
+            scene.params, b.mat, fm, b.Jp, scene.materials_present
+        )
         f00, f01 = fm[..., 0, 0], fm[..., 0, 1]
         f10, f11 = fm[..., 1, 0], fm[..., 1, 1]
     return FluidBuckets(
@@ -677,6 +738,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
         mass=b.mass,
         vol0=b.vol0,
         mat=b.mat,
+        Jp=jp_new,
         jbar_s=jbar_new,
         p_s=p_new,
         div_s=div_s_new,

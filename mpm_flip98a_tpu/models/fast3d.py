@@ -72,6 +72,7 @@ class FluidBuckets3D:
     mass: jax.Array
     vol0: jax.Array
     mat: jax.Array       # int32 material id (models/materials.py)
+    Jp: jax.Array        # plastic volume ratio (SNOW hardening state)
     # Fused-stabilization state (lag-corrected nodal averages; only
     # meaningful when use_fbar / pressure mixing is on):
     jbar_s: jax.Array
@@ -110,7 +111,7 @@ def _field_list(b: FluidBuckets3D):
         b.x0, b.x1, b.x2, b.v0, b.v1, b.v2,
         b.C00, b.C01, b.C02, b.C10, b.C11, b.C12, b.C20, b.C21, b.C22,
         b.F00, b.F01, b.F02, b.F10, b.F11, b.F12, b.F20, b.F21, b.F22,
-        b.J, b.mass, b.vol0, b.mat,
+        b.J, b.mass, b.vol0, b.mat, b.Jp,
         b.jbar_s, b.p_s, b.div_s,
     )
 
@@ -133,7 +134,7 @@ def _safe_dead_slots(b: FluidBuckets3D) -> FluidBuckets3D:
     one = lambda a: jnp.where(on, a, jnp.ones_like(a))
     return dataclasses.replace(
         b, J=one(b.J), F00=one(b.F00), F11=one(b.F11), F22=one(b.F22),
-        jbar_s=one(b.jbar_s),
+        Jp=one(b.Jp), jbar_s=one(b.jbar_s),
     )
 
 
@@ -164,6 +165,7 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec3D) -> FluidBucke
         *(f[:, a, b2] for a in range(3) for b2 in range(3)),
         to32(p.J), to32(p.mass), to32(p.volume0),
         p.material.astype(jnp.int32),
+        to32(p.Jp),
         to32(p.J),                      # jbar_s init = J
         jnp.zeros((n,), jnp.float32),   # p_s
         jnp.zeros((n,), jnp.float32),   # div_s
@@ -180,7 +182,7 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec3D) -> FluidBucke
 def to_host(b: FluidBuckets3D) -> dict:
     mask = np.asarray(b.mask) > 0
     out = {}
-    for name in ("x0", "x1", "x2", "v0", "v1", "v2", "J", "mass", "mat"):
+    for name in ("x0", "x1", "x2", "v0", "v1", "v2", "J", "mass", "mat", "Jp"):
         out[name] = np.asarray(getattr(b, name))[mask]
     return out
 
@@ -277,7 +279,8 @@ def _polar3d_rows(F, iters: int = 12):
 
 
 def _grid_update(
-    gs: jax.Array, scene: Scene, ext: bool, row_index0=None, row_index1=None
+    gs: jax.Array, scene: Scene, ext: bool, row_index0=None, row_index1=None,
+    domain=None,
 ) -> jax.Array:
     """Grid momentum update on the fold's (G0, G1, nch, G2) layout —
     transpose-free (fold_rows0 already emits the G2P grid layout; the
@@ -303,19 +306,73 @@ def _grid_update(
     v0g = jnp.where(hc, gs[:, :, 0:3] / safe[:, :, None], 0.0)
     grav = jnp.asarray(cfg.gravity_acceleration(scene.physics), jnp.float32)
     gravc = grav[None, None, :, None]
+    # Sharded grid-side extension hooks (CSF / projection): gather-only
+    # halo refresh + psum axes + owned-row masks.  Mirrors fast2d.
+    ext_axis = ext_halo = ext_own = None
+    if domain is not None and (cfg.surface_tension > 0.0 or cfg.incompressible):
+        rr0 = gs.shape[0]
+        own0 = (jnp.arange(rr0) >= 1) & (jnp.arange(rr0) < rr0 - 3)
+        if getattr(domain, "axis1", None) is not None:
+            rr1 = gs.shape[1]
+            own1 = (jnp.arange(rr1) >= 1) & (jnp.arange(rr1) < rr1 - 3)
+            ext_own = own0[:, None, None] & own1[None, :, None]
+            ext_axis = (domain.axis0, domain.axis1)
+        else:
+            ext_own = own0
+            ext_axis = (domain.axis0,)
+        ext_halo = domain.halo_gather_only
+    if cfg.surface_tension > 0.0:
+        # CSF surface tension on the (G0, G1, G2) nodal mass field — the
+        # same grid-side force as the general path (stabilized._csf_force
+        # is dim-agnostic); channel layout via a moveaxis on the force
+        # (extension feature: correctness over layout).  VERDICT r3 item 5.
+        from mpm_flip98a_tpu.models.stabilized import GridContext, _csf_force
+
+        csf_ctx = None
+        if domain is not None:
+            csf_ctx = GridContext(
+                node_shape=None, cell_shape=None,
+                axis=ext_axis, halo_exchange=ext_halo,
+            )
+        f_st = _csf_force(g_m, cfg, scene.physics, jnp.float32, csf_ctx)
+        st_scale = dt * g_m / jnp.float32(scene.physics.particle_density)
+        st = jnp.moveaxis(f_st, -1, 2) * st_scale[:, :, None]  # (G0,G1,3,G2)
+    else:
+        st = None
     if cfg.use_penalty_ebc:
         # Implicit normal-velocity penalty, diagonal for the axis-aligned
         # box (same formulation as models/stabilized.py / fast2d.py).
         beta = jnp.float32(cfg.penalty_parameter(scene.physics))
         pen = _wall_normal_diag_ch(cfg, row_index0, row_index1)  # (G0, G1, 3, G2)
         rhs = gs[:, :, 3:6] + dt * g_m[:, :, None] * gravc
+        if st is not None:
+            rhs = rhs + st
         v_new = jnp.where(
             hc, rhs / (g_m[:, :, None] + dt * beta * pen), 0.0
         )
     else:
         vng = jnp.where(hc, gs[:, :, 3:6] / safe[:, :, None], 0.0)
         vng = vng + dt * gravc * hc.astype(jnp.float32)
+        if st is not None:
+            # (mv + dt F m/rho)/m == mv/m + st/m: the general path's rhs
+            # form, bitwise a no-op when surface tension is off.
+            vng = vng + jnp.where(hc, st / safe[:, :, None], 0.0)
         v_new = _wall_bc_ch(vng, cfg, scene.wall, row_index0, row_index1)
+    if cfg.incompressible:
+        # Chorin projection on the (G0, G1, G2) velocity planes between
+        # grid update and G2P (VERDICT r3 item 4); sharded slabs/pencils
+        # run psum dots + gather-only halo refresh per CG iteration.
+        from mpm_flip98a_tpu.models import projection as _proj
+
+        vs, _, _ = _proj.project_planes(
+            tuple(v_new[:, :, a] for a in range(3)),
+            g_m, _mass_floor(scene, g_m),
+            dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
+            iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
+            row_index0=row_index0, row_index1=row_index1,
+            axis=ext_axis, halo=ext_halo, own=ext_own,
+        )
+        v_new = jnp.stack(vs, axis=2)
     gparts = [v_new, v0g]
     if ext:
         v0sum = gs[:, :, 8]
@@ -409,17 +466,6 @@ def substep(
     cfg = scene.cfg
     assert cfg.dim == 3
     tent = cfg.kernel == KernelKind.TENT
-    if cfg.surface_tension > 0.0:
-        raise NotImplementedError(
-            "CSF surface tension is implemented in the general path only "
-            "(models/stabilized.py); run surface_tension > 0 scenes with "
-            "path='general'"
-        )
-    if cfg.incompressible:
-        raise NotImplementedError(
-            "incompressible projection is implemented in the general path "
-            "only (models/projection.py); run with path='general'"
-        )
     g = cfg.num_grids
     r0, r1 = spec.rows0, spec.rows1
     k = spec.capacity
@@ -481,10 +527,14 @@ def substep(
     # (Tent runs the generic path: the fused update-mode G2P computes J
     # from the in-kernel C, which for the hat kernel needs the matrix
     # D^-1 reconstruction below.)
+    # Grid-side extensions (CSF / incompressible projection) run in XLA on
+    # the updated planes: the in-kernel grid-update paths stand down.
+    ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
     fused = (
         scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,)
         and not ext
         and not tent
+        and not ext_grid
     )
     if fused:
         fields = (
@@ -591,9 +641,15 @@ def substep(
                         mu_s * (ffr - (1.0 if a == c else 0.0))
                         + (lj if a == c else 0.0)
                     )
-        else:  # FIXED_COROTATED: V0 (2 mu (F - R) F^T + lam (Jf - 1) Jf I)
+        else:  # FIXED_COROTATED / SNOW: V0 (2 mu (F-R) F^T + lam (Jf-1) Jf I)
             mu_s = jnp.float32(scene.params.mu)
             lam_s = jnp.float32(scene.params.lam)
+            if mid == mat.SNOW:
+                # Hardening-scaled Lame parameters from the tracked
+                # plastic volume (mls-mpm88-explained.cpp:67-69).
+                h = jnp.exp(jnp.float32(scene.params.hardening) * (1.0 - b.Jp))
+                mu_s = mu_s * h
+                lam_s = lam_s * h
             rrot = _polar3d_rows(fmat)
             jf = (
                 fmat[0] * (fmat[4] * fmat[8] - fmat[5] * fmat[7])
@@ -656,9 +712,9 @@ def substep(
         )
         gs = domain.halo_sync(raw_halo)
         ri1 = row_index1 if row_index1 is not None else jnp.arange(r1 + 4) - 1
-        grid_ch = _grid_update(gs, scene, ext, row_index0, ri1)
+        grid_ch = _grid_update(gs, scene, ext, row_index0, ri1, domain)
         pre0 = pre1 = True
-    elif scene.mass_floor > 0.0 and __import__("os").environ.get(
+    elif scene.mass_floor > 0.0 and not ext_grid and __import__("os").environ.get(
         "MPM_P2G_GRID", "1"
     ) != "0":
         # Single chip: fully fused P2G + fold + grid update, G2P-ready
@@ -754,6 +810,7 @@ def substep(
         div_s_new = out[:, 17] * b.mask
     else:
         jbar_new, p_new, div_s_new = b.jbar_s, b.p_s, b.div_s
+    jp_new = b.Jp
     # F <- (I + dt C) F, component form.  Fluid stress never reads F (it
     # uses C and J), so fluid-only scenes skip the 9-field update entirely
     # (~2.4 GB/substep of dead traffic at 8M).
@@ -768,14 +825,16 @@ def substep(
             for a in range(3)
             for c in range(3)
         ]
-        if scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present:
-            # Snow-plasticity singular-value clamp (mls-mpm88:164-170).
-            # Dead slots are parked at F = I, unchanged by the clamp.
+        if (scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present) \
+                or mat.SNOW in scene.materials_present:
+            # Snow-plasticity singular-value clamp + Jp tracking
+            # (mls-mpm88:164-177).  Dead slots are parked at F = I,
+            # Jp = 1, unchanged by the clamp.
             fm = jnp.stack(
                 [jnp.stack(f_new[3 * a : 3 * a + 3], -1) for a in range(3)], -2
             )
-            fm = mat.plastic_clamp(
-                scene.params, b.mat, fm, scene.materials_present
+            fm, jp_new = mat.plastic_update(
+                scene.params, b.mat, fm, jp_new, scene.materials_present
             )
             f_new = [fm[..., a, c] for a in range(3) for c in range(3)]
     return FluidBuckets3D(
@@ -795,6 +854,7 @@ def substep(
         mass=b.mass,
         vol0=b.vol0,
         mat=b.mat,
+        Jp=jp_new,
         jbar_s=jbar_new,
         p_s=p_new,
         div_s=div_s_new,

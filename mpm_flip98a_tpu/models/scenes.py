@@ -135,6 +135,48 @@ def elastic_drop_2d(
     return p, scene
 
 
+def snow_block_2d(
+    cfg: Optional[MPMConfig] = None,
+    physics: Physics = Physics(),
+    dtype=np.float64,
+    block_frac: float = 0.18,
+    drop_height_frac: float = 0.5,
+    particles_per_axis: int = 40,
+    youngs: float = 1.4e5,
+    poisson: float = 0.2,
+) -> Tuple[Particles, Scene]:
+    """Snow block dropped onto the floor: the PRODUCTION snow material
+    (materials.SNOW) — fixed corotated with hardening-scaled Lame
+    parameters driven by the tracked plastic volume Jp, singular-value
+    clamp at F-update time (reference validation solver:
+    mls-mpm88-explained.cpp:17-19,67-69,164-177; E/nu defaults are the
+    classic Stomakhin et al. 2013 snow values).  The block compacts
+    plastically on impact instead of bouncing elastically."""
+    cfg = cfg or MPMConfig(dtype=np.dtype(dtype).name)
+    l = cfg.domain_length
+    side = block_frac * l
+    n = particles_per_axis
+    x = _lattice((n, n), (0.5 * (l - side), drop_height_frac * l), (side, side), dtype)
+    rho_snow = 400.0
+    p = Particles.init(
+        jnp.asarray(x),
+        volume0=side * side / (n * n),
+        density=rho_snow,
+        material=jnp.full((len(x),), mat.SNOW, jnp.int32),
+    )
+    scene = Scene(
+        cfg=cfg,
+        physics=physics,
+        params=mat.MaterialParams(
+            mu=youngs / (2 * (1 + poisson)),
+            lam=youngs * poisson / ((1 + poisson) * (1 - 2 * poisson)),
+        ),
+        materials_present=(mat.SNOW,),
+        mass_floor=_floor_of(p),
+    )
+    return p, scene
+
+
 def slab_3d(
     num_grids: int = 128,
     particles_per_axis: Tuple[int, int, int] = (256, 256, 16),

@@ -130,9 +130,11 @@ class GridContext:
     cell_shape: Tuple[int, ...]
     base_shift: jax.Array = None   # (dim,) int32 subtracted from global bases
     row_index0: jax.Array = None   # global node row index of local axis-0 rows
-    # Slab-decomposition hooks for grid-side derivative chains (CSF):
+    # Slab-decomposition hooks for grid-side derivative chains (CSF) and
+    # grid-side iterative solves (incompressible projection):
     axis: str = None               # mesh axis name for pmax/psum scalars
     halo_exchange: Callable = None  # refresh axis-0 halo rows from neighbors
+    own_rows: jax.Array = None     # bool (R,): locally-owned axis-0 rows
 
     @staticmethod
     def single(cfg: MPMConfig) -> "GridContext":
@@ -420,6 +422,7 @@ def substep_grid(
         pressure,
         eps,
         scene.materials_present,
+        jp=p.Jp,
     )
     sigma = tau / jnp.maximum(p.volume0 * jbar, jnp.asarray(1e-30, dt_))[..., None, None]
 
@@ -492,19 +495,20 @@ def substep_grid(
         # EXTENSION: nodal Chorin projection (models/projection.py) —
         # divergence-free grid velocities each substep; see the config
         # switch note.  Solid wall nodes keep their BC values (the
-        # projection only moves fluid nodes strictly inside the box).
-        if ctx.row_index0 is not None:
-            raise NotImplementedError(
-                "incompressible projection needs global CG reductions; "
-                "run on a single device (general path)"
-            )
+        # projection only moves non-solid edges strictly inside the box).
+        # Sharded slabs run the same PCG with psum dot products and a
+        # per-iteration halo refresh (projection module docstring).
         from mpm_flip98a_tpu.models import projection as _proj
 
-        v_new, _, _ = _proj.project(
-            v_new, g_m, _mass_floor(scene, g_m),
+        vs, _, _ = _proj.project_planes(
+            tuple(v_new[..., a] for a in range(d)),
+            g_m, _mass_floor(scene, g_m),
             dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
+            row_index0=ctx.row_index0, axis=ctx.axis,
+            halo=ctx.halo_exchange, own=ctx.own_rows,
         )
+        v_new = jnp.stack(vs, axis=-1)
 
     grid = Grid(
         v=v_new,
@@ -546,10 +550,10 @@ def substep_grid(
 
     x_new = p.x + dt * v_pic
     f_new = mathx.mm(jnp.eye(d, dtype=dt_)[None] + dt * c_new, p.F)
-    # Snow-plasticity singular-value clamp (static no-op unless the scene
-    # declares a plastic fixed-corotated material; mls-mpm88:164-170).
-    f_new = mat.plastic_clamp(
-        scene.params, p.material, f_new, scene.materials_present
+    # Snow-plasticity singular-value clamp + Jp tracking (static no-op
+    # unless the scene declares a clamping material; mls-mpm88:164-177).
+    f_new, jp_new = mat.plastic_update(
+        scene.params, p.material, f_new, p.Jp, scene.materials_present
     )
     # J via the divergence rate — the stabilized volumetric update.  With
     # pressure mixing on, the grid-projected (smoothed) divergence drives J
@@ -583,6 +587,7 @@ def substep_grid(
             div_v=div_new,
             pou=pou,
             consistency=cons,
+            Jp=jp_new,
         ),
         grid,
     )

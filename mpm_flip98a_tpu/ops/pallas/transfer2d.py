@@ -280,9 +280,15 @@ def _p2g_core(
 def _chunk(k: int) -> int:
     """Slot-axis chunk: caps the in-VMEM weight matrix at ~1024 x G, so
     the packed-count skip can trim partially-filled buckets at finer
-    granularity.  K must divide evenly (FastSpec guarantees it)."""
-    nc = -(-k // 1024)
-    assert k % nc == 0, k
+    granularity.  K must divide evenly (FastSpec guarantees it).
+
+    MPM_KC2D overrides the 1024 cap for on-chip A/B probes (VERDICT r3
+    item 3: larger KC at G = 512 amortises the per-chunk fixed cost /
+    W-build against coarser count skipping; pick the winner from data)."""
+    cap = int(__import__("os").environ.get("MPM_KC2D", "1024"))
+    nc = -(-k // cap)
+    while k % nc:  # keep divisibility for any cap override
+        nc += 1
     return k // nc
 
 

@@ -93,7 +93,18 @@ def _batch1(r1: int) -> int:
 
 def _chunk3d(k: int) -> int:
     """Slot-axis chunk: 128 up to K = 512 (finest count-skip granularity),
-    K/4 beyond (bounds the in-body unroll at 4 chunk bodies)."""
+    K/4 beyond (bounds the in-body unroll at 4 chunk bodies).
+
+    MPM_KC3D overrides the chunk size for on-chip A/B probes (VERDICT r3
+    item 3)."""
+    import os as _os
+
+    env = _os.environ.get("MPM_KC3D")
+    if env:
+        kc = int(env)
+        while k % kc:
+            kc -= 1
+        return max(kc, 1)
     kc = max(128, k // 4)
     assert k % kc == 0, k
     return kc

@@ -196,6 +196,7 @@ def _deactivate(p: Particles, mask: jax.Array, slab_center_x: jax.Array) -> Part
         div_v=jnp.where(m, 0.0, p.div_v),
         pou=jnp.where(m, 0.0, p.pou),
         consistency=jnp.where(md, 0.0, p.consistency),
+        Jp=jnp.where(m, 1.0, p.Jp),
     )
 
 
@@ -326,6 +327,7 @@ def distribute(
                 div_v=padded(local.div_v, 0.0),
                 pou=padded(local.pou, 0.0),
                 consistency=padded(local.consistency, 0.0),
+                Jp=padded(local.Jp, 1.0),
             )
         )
 
@@ -360,9 +362,11 @@ def make_run(scene: Scene, spec: DomainSpec, mesh: Mesh, axis: str = "x"):
             base_shift=shift,
             row_index0=s * L - H + jnp.arange(L + 2 * H),
             axis=axis,
-            # Halo refresh for grid-side derivative chains (CSF): copy the
-            # neighbors' completed interior rows into the local halos.
+            # Halo refresh for grid-side derivative chains (CSF) and the
+            # projection's per-iteration q exchange: copy the neighbors'
+            # completed interior rows into the local halos.
             halo_exchange=lambda buf: halo_gather(buf, axis, n, L),
+            own_rows=(jnp.arange(L + 2 * H) >= H) & (jnp.arange(L + 2 * H) < L + H),
         )
 
         def body(_, st: DomainState) -> DomainState:

@@ -109,6 +109,19 @@ class FastDomainCtx:
         buf = buf.at[l + H_LO :].set(recv)
         return buf
 
+    def halo_gather_only(self, buf: jax.Array) -> jax.Array:
+        """Refresh halo rows from the neighbors' completed interiors
+        WITHOUT the reduce leg — for grid-side derivative chains / solves
+        (CSF, incompressible projection) whose inputs are already global
+        sums.  Works on any (L + 4, ...) row-leading buffer."""
+        n = self.n
+        l = buf.shape[0] - (H_LO + H_HI)
+        recv = jax.lax.ppermute(buf[l : l + H_LO], self.axis, _perm_right(n))
+        buf = buf.at[0:H_LO].set(recv)
+        recv = jax.lax.ppermute(buf[H_LO : H_LO + H_HI], self.axis, _perm_left(n))
+        buf = buf.at[l + H_LO :].set(recv)
+        return buf
+
 
 def distribute(
     p, cfg: MPMConfig, spec: FastDomainSpec, mesh: Mesh, axis: str = "x"

@@ -141,6 +141,29 @@ class FastDomain3DCtx:
             buf = _sync_dim(buf, self.axis1, self.n1, 1)
         return buf
 
+    def halo_gather_only(self, buf: jax.Array) -> jax.Array:
+        """Refresh halo rows/columns from neighbor interiors WITHOUT the
+        reduce leg — for grid-side derivative chains / solves (CSF,
+        incompressible projection) whose inputs are already global sums.
+        Sequential axis legs: after the axis-0 gather, every shard's
+        axis-0 halo rows are fresh, so the axis-1 gather also delivers
+        valid CORNER values.  Works on any (L0 + 4[, L1 + 4], ...)
+        row-leading buffer."""
+
+        def gather_dim(b, axis_name, n, dim):
+            sl = lambda a, z: (slice(None),) * dim + (slice(a, z),)
+            l = b.shape[dim] - (H_LO + H_HI)
+            recv = jax.lax.ppermute(b[sl(l, l + H_LO)], axis_name, _perm_right(n))
+            b = b.at[sl(0, H_LO)].set(recv)
+            recv = jax.lax.ppermute(b[sl(H_LO, H_LO + H_HI)], axis_name, _perm_left(n))
+            b = b.at[sl(l + H_LO, None)].set(recv)
+            return b
+
+        buf = gather_dim(buf, self.axis0, self.n0, 0)
+        if self.axis1 is not None:
+            buf = gather_dim(buf, self.axis1, self.n1, 1)
+        return buf
+
 
 def distribute(
     p, cfg: MPMConfig, spec: FastDomain3DSpec, mesh: Mesh,

@@ -59,6 +59,7 @@ def pad_particles(p: Particles, multiple: int) -> Particles:
         div_v=pad(p.div_v),
         pou=pad(p.pou),
         consistency=pad(p.consistency),
+        Jp=pad(p.Jp, 1.0),
     )
 
 

@@ -82,6 +82,10 @@ class Particles:
       density       : (N,)        particle density              (fields.py:21)
       pressure      : (N,)        particle pressure             (fields.py:19)
       div_v         : (N,)        velocity divergence           (fields.py:20)
+      Jp            : (N,)        plastic volume ratio — SNOW hardening
+                                  state (reference validation solver
+                                  mls-mpm88-explained.cpp:37,172-177;
+                                  inert 1.0 for non-snow materials)
 
     Diagnostics (kernel-consistency self checks, fields.py:15-18):
       pou           : (N,)        partition of unity  (sum of weights)
@@ -102,6 +106,7 @@ class Particles:
     div_v: jax.Array
     pou: jax.Array
     consistency: jax.Array
+    Jp: jax.Array
 
     @property
     def n(self) -> int:
@@ -140,6 +145,7 @@ class Particles:
             div_v=jnp.zeros((n,), dt),
             pou=jnp.zeros((n,), dt),
             consistency=jnp.zeros((n, d), dt),
+            Jp=jnp.ones((n,), dt),
         )
 
 

@@ -43,7 +43,12 @@ def save(path: str, state: Any, meta: dict | None = None) -> None:
 
 
 def load(path: str, state_type: Type) -> Any:
-    """Restore a checkpoint written by `save` into `state_type`."""
+    """Restore a checkpoint written by `save` into `state_type`.
+
+    Forward-compatible with added state fields: a checkpoint written
+    before `Particles.Jp` existed loads with Jp = 1 (the inert value for
+    every non-snow material) instead of failing — keeps old run
+    checkpoints resumable across the round-4 state extension."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
         manifest = json.loads(str(z["__manifest__"]))
         if manifest["type"] != state_type.__name__:
@@ -53,6 +58,11 @@ def load(path: str, state_type: Type) -> Any:
         kwargs = {
             name: jnp.asarray(z[name]) for name in manifest["fields"]
         }
+    missing = {
+        f.name for f in dataclasses.fields(state_type)
+    } - set(kwargs)
+    if missing == {"Jp"}:
+        kwargs["Jp"] = jnp.ones_like(kwargs["J"])
     return state_type(**kwargs)
 
 

@@ -72,6 +72,29 @@ def test_cli_multidevice_fast(tmp_path, capsys):
     assert "Run Time:" in capsys.readouterr().out
 
 
+def test_cli_incompressible_fast_sharded(tmp_path, capsys):
+    # VERDICT r3 item 4 "done" criterion: dam2d_incompressible runs with
+    # --path fast and --devices (sharded PCG: psum dots + halo refresh).
+    main(
+        ["--scenario", "dam2d_incompressible", "--path", "fast",
+         "--devices", "4", "--frames", "1", "--substeps", "5",
+         "--out", str(tmp_path), "--no-gif"]
+    )
+    out = capsys.readouterr().out
+    assert "Run Time:" in out
+    dirs = os.listdir(tmp_path)
+    assert any(d.startswith("mov_") for d in dirs)
+
+
+def test_cli_incompressible_fast_single(tmp_path, capsys):
+    main(
+        ["--scenario", "dam2d_incompressible", "--path", "fast",
+         "--frames", "1", "--substeps", "5", "--out", str(tmp_path),
+         "--no-gif"]
+    )
+    assert "Run Time:" in capsys.readouterr().out
+
+
 def test_cli_two_axis_mesh_3d(tmp_path, capsys):
     # Two-axis (slabs x pencil columns) 3D decomposition from the CLI,
     # incl. checkpoint + resume of the shard-major bucket state on the

@@ -123,14 +123,126 @@ def test_incompressible_substep_runs_stable():
     assert np.asarray(p1.x)[:, 1].mean() < np.asarray(p.x)[:, 1].mean()
 
 
-def test_fast_paths_reject_incompressible():
+def test_incompressible_sharded_matches_single_device():
+    """Slab-sharded projection (psum dots + per-iteration halo refresh)
+    must reproduce the single-device solve: same operator, same scalars
+    (VERDICT r3 item 4)."""
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel.domain import DomainSpec, distribute, make_run
+
+    cfg = MPMConfig(
+        dtype="float64", num_grids=33, dt=1e-5,
+        num_particles_x=24, num_particles_y=48,
+        fluid_width=0.105, fluid_height=0.21,
+        flip_blend=0.98, transfer=TransferKind.PIC,
+        incompressible=True, pressure_iters=60,
+    )
+    p, scene = scenes.dam_break_2d(cfg)
+    mesh = make_mesh(4)
+    spec = DomainSpec.for_particles(cfg, 4, p, headroom=2.0)
+    state, perm = distribute(p, scene, spec, mesh)
+    out = make_run(scene, spec, mesh)(state, 25)
+    ref = run_ref(p, scene, 25)
+    assert int(np.asarray(out.dropped).sum()) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.particles.x)[perm], np.asarray(ref.x), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.particles.v)[perm], np.asarray(ref.v), atol=1e-7
+    )
+
+
+def _fast_xy(b):
     from mpm_flip98a_tpu.models import fast2d
+
+    h = fast2d.to_host(b)
+    x = np.stack([h["x0"], h["x1"]], axis=-1)
+    order = np.lexsort((x[:, 1], x[:, 0]))
+    return x[order], np.stack([h["v0"], h["v1"]], axis=-1)[order]
+
+
+def test_fast_path_incompressible_matches_general():
+    """Incompressible projection on the fast path (VERDICT r3 item 4):
+    same PCG on the (R, G) planes between grid update and G2P."""
+    from mpm_flip98a_tpu.models import fast2d
+    from mpm_flip98a_tpu.models.stabilized import substep as substep_ref
 
     p, scene = scenes.dam_break_2d(_incompressible_cfg(), dtype=np.float32)
     spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=2.0)
     b = fast2d.from_particles(p, scene.cfg, spec)
-    with pytest.raises(NotImplementedError):
-        fast2d.substep(b, scene)
+    b1 = fast2d.substep(b, scene)
+    p1 = substep_ref(p, scene)
+    x_f, v_f = _fast_xy(b1)
+    x_r = np.asarray(p1.x)
+    v_r = np.asarray(p1.v)
+    order = np.lexsort((x_r[:, 1], x_r[:, 0]))
+    x_r, v_r = x_r[order], v_r[order]
+    assert x_f.shape == x_r.shape
+    np.testing.assert_allclose(x_f, x_r, atol=1e-7)
+    np.testing.assert_allclose(v_f, v_r, atol=1e-4)
+
+    # Volume pinning survives the fast path over a longer run.
+    out = fast2d.run(b, scene, spec, 200)
+    h = fast2d.to_host(out)
+    assert np.isfinite(h["x0"]).all()
+    assert np.abs(np.asarray(out.J) - 1).max() < 5e-4
+    assert int(out.overflow) == 0
+
+
+def test_sharded_fast_incompressible_runs_and_matches():
+    """dam2d incompressible on the sharded fast path: psum dot products +
+    gather-only halo refresh inside the CG (VERDICT r3 item 4 'runs with
+    --path fast and --devices 8')."""
+    from mpm_flip98a_tpu.models import fast2d
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel import fast_domain
+
+    p, scene = scenes.dam_break_2d(_incompressible_cfg(), dtype=np.float32)
+    cfg = scene.cfg
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    spec = fast_domain.FastDomainSpec.for_particles(cfg, n_dev, p, headroom=2.0)
+    b8 = fast_domain.distribute(p, cfg, spec, mesh)
+    out8 = fast_domain.make_run(scene, spec, mesh)(b8, 50)
+    assert int(np.asarray(out8.overflow).sum()) == 0
+
+    sspec = fast2d.FastSpec(rows=spec.n_shards * spec.rows_per_shard,
+                            capacity=spec.capacity)
+    out1 = fast2d.run(fast2d.from_particles(p, cfg, sspec), scene, sspec, 50)
+    x8, x1 = _fast_xy(out8)[0], _fast_xy(out1)[0]
+    assert x8.shape == x1.shape
+    np.testing.assert_allclose(x8, x1, atol=1e-5)
+
+
+def test_fast3d_incompressible_matches_general():
+    """3D fast-path projection: same PCG on the channel-layout planes."""
+    from mpm_flip98a_tpu.models import fast3d
+
+    p, scene = scenes.dam_break_3d(
+        num_grids=16, particles_per_axis=(6, 6, 10), dt=2e-5,
+        dtype=np.float32, incompressible=True, pressure_iters=40,
+    )
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    b1 = fast3d.substep(b, scene, spec)
+    from mpm_flip98a_tpu.models.stabilized import substep as substep_ref
+
+    p1 = substep_ref(p, scene)
+    h = fast3d.to_host(b1)
+    x_f = np.stack([h["x0"], h["x1"], h["x2"]], axis=-1)
+    x_r = np.asarray(p1.x)
+
+    def _sorted(x):
+        return x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+
+    assert x_f.shape == x_r.shape
+    np.testing.assert_allclose(_sorted(x_f), _sorted(x_r), atol=1e-7)
+
+    out = fast3d.run(b, scene, spec, 20)
+    h = fast3d.to_host(out)
+    assert np.isfinite(h["x0"]).all()
+    assert np.abs(np.asarray(out.J) - 1).max() < 5e-4
+    assert int(out.overflow) == 0
 
 
 def test_incompressible_golden_stats():
