@@ -13,10 +13,12 @@ State lives permanently in the bucketed (R, K) slot layout; `rebucket`
 substeps at CFL-respecting dt — which the +-1-row kernel margin makes safe.
 
 Feature switches covered here: APIC/PIC transfer, FLIP blend alpha,
-linear/Tait EOS, slip/sticky walls, penalty EBC, and fused F-bar /
+linear/Tait EOS, slip/sticky walls, penalty EBC, fused F-bar /
 pressure-mixing stabilization (nodal averages carried with a one-substep
 lag through extra transfer channels — the matmul M-dim had free capacity,
-so the extended channels are near-free).  The general XLA path
+so the extended channels are near-free), the CSF surface-tension and
+incompressible-projection extensions (grid-side, in the XLA grid
+update), and the SNOW material (tracked Jp).  The general XLA path
 (models/stabilized.py) remains the reference semantics (two-pass
 projection, no lag).
 """
@@ -304,8 +306,13 @@ def _grid_update2d(
             own = (rows_idx >= 1) & (rows_idx < rr - 3)
             halo = domain.halo_gather_only
             ax = domain.axis
+        floor = _mass_floor(scene, g_m)
+        if ax is not None and scene.mass_floor <= 0.0:
+            # The relative floor uses the shard-LOCAL max — pmax it so
+            # halo rows classify fluid/air identically on both owners.
+            floor = jax.lax.pmax(floor, ax)
         (vx, vy), _, _ = _proj.project_planes(
-            (vx, vy), g_m, _mass_floor(scene, g_m),
+            (vx, vy), g_m, floor,
             dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
             row_index0=row_index0, axis=ax, halo=halo, own=own,

@@ -364,9 +364,14 @@ def _grid_update(
         # run psum dots + gather-only halo refresh per CG iteration.
         from mpm_flip98a_tpu.models import projection as _proj
 
+        floor = _mass_floor(scene, g_m)
+        if ext_axis is not None and scene.mass_floor <= 0.0:
+            # Shard-invariant relative floor (pmax over the mesh axes) so
+            # halo planes classify fluid/air identically on both owners.
+            floor = jax.lax.pmax(floor, ext_axis)
         vs, _, _ = _proj.project_planes(
             tuple(v_new[:, :, a] for a in range(3)),
-            g_m, _mass_floor(scene, g_m),
+            g_m, floor,
             dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
             row_index0=row_index0, row_index1=row_index1,

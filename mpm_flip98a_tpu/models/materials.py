@@ -164,29 +164,6 @@ def neo_hookean_tau_hat(
     )
 
 
-def plastic_clamp(
-    params: MaterialParams,
-    material: jax.Array,
-    f: jax.Array,
-    materials_present: Tuple[int, ...] = (WEAKLY_COMPRESSIBLE_FLUID,),
-) -> jax.Array:
-    """Volume-only clamp (no Jp) — kept for callers that do not track Jp;
-    see `plastic_update` for the full snow treatment."""
-    if not params.plastic or FIXED_COROTATED not in materials_present:
-        return f
-    dt = f.dtype
-    u, sig, v = mathx.svd(f)
-    sig_c = jnp.clip(
-        sig,
-        jnp.asarray(params.sig_clamp_lo, dt),
-        jnp.asarray(params.sig_clamp_hi, dt),
-    )
-    f_c = mathx.mm(u, sig_c[..., :, None] * mathx.transpose(v))
-    if materials_present == (FIXED_COROTATED,):
-        return f_c
-    return jnp.where((material == FIXED_COROTATED)[..., None, None], f_c, f)
-
-
 def plastic_update(
     params: MaterialParams,
     material: jax.Array,

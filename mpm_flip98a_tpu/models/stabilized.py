@@ -313,8 +313,9 @@ def _csf_force(
     from the interface (|n| below 1% of the global max) contribute
     nothing — this also kills the B-spline deposition ripple that
     survives the smoothing.  EXTENSION beyond the reference's switch set
-    (config.py:18-29); general path only (the fast paths reject the
-    switch loudly).
+    (config.py:18-29).  Dim-agnostic; also consumed by BOTH Pallas fast
+    paths on their fold-buffer mass planes (fast2d/fast3d grid updates),
+    single-device and sharded.
 
     Slab decomposition (ctx.axis set): every derivative in the chain
     consumes one ring of valid axis-0 rows, so after each radius-1 stage
@@ -500,9 +501,14 @@ def substep_grid(
         # per-iteration halo refresh (projection module docstring).
         from mpm_flip98a_tpu.models import projection as _proj
 
+        p_floor = _mass_floor(scene, g_m)
+        if ctx.axis is not None and scene.mass_floor <= 0.0:
+            # Shard-invariant relative floor: halo rows must classify
+            # fluid/air identically on both owners.
+            p_floor = jax.lax.pmax(p_floor, ctx.axis)
         vs, _, _ = _proj.project_planes(
             tuple(v_new[..., a] for a in range(d)),
-            g_m, _mass_floor(scene, g_m),
+            g_m, p_floor,
             dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
             row_index0=ctx.row_index0, axis=ctx.axis,

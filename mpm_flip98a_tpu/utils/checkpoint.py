@@ -98,18 +98,42 @@ def save_sharded(path: str, state: Any, meta: dict | None = None) -> None:
 def load_sharded(path: str, template: Any) -> Any:
     """Restore an Orbax checkpoint onto `template` — a matching pytree of
     arrays or ShapeDtypeStructs whose shardings define the placement
-    (e.g. the freshly `distribute`d state on the target mesh)."""
+    (e.g. the freshly `distribute`d state on the target mesh).
+
+    Forward-compatible with the round-4 `Jp` state extension like the
+    npz `load`: a pre-Jp checkpoint restores as a dict without the Jp
+    leaf, which is then filled with the inert value (ones like J, placed
+    like the template's Jp)."""
+    import dataclasses as _dc
+
     import jax
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
-    abstract = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(
+    def _abstract(a):
+        return jax.ShapeDtypeStruct(
             a.shape, a.dtype, sharding=getattr(a, "sharding", None)
-        ),
-        template,
-    )
+        )
+
+    abstract = jax.tree.map(_abstract, template)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), abstract)
+    try:
+        return ckptr.restore(os.path.abspath(path), abstract)
+    except Exception:
+        if not (_dc.is_dataclass(template) and hasattr(template, "Jp")):
+            raise
+        # Retry as a dict tree WITHOUT Jp (the pre-round-4 field set).
+        fields = {
+            f.name: _abstract(getattr(template, f.name))
+            for f in _dc.fields(template)
+            if f.name != "Jp"
+        }
+        got = ckptr.restore(os.path.abspath(path), fields)
+        jp = jnp.ones_like(got["J"])
+        tpl_jp = getattr(template, "Jp", None)
+        if tpl_jp is not None and getattr(tpl_jp, "sharding", None) is not None:
+            jp = jax.device_put(jp, tpl_jp.sharding)
+        return type(template)(**got, Jp=jp)
 
 
 def load_sharded_meta(path: str) -> dict:

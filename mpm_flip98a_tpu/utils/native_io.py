@@ -40,6 +40,14 @@ def _load():
         if not os.path.exists(_LIB_PATH):
             _unavailable = True
             return None
+        import warnings
+
+        warnings.warn(
+            "native frame-io rebuild failed; loading the EXISTING "
+            f"{_LIB_PATH} which may be stale relative to frame_io.cpp",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -4,8 +4,9 @@ Unit-level: the masked-CG nodal projection must cut the discrete
 divergence of a random fluid velocity field by an order of magnitude,
 leave solid wall nodes untouched, and be idempotent-ish (projecting an
 already-projected field changes little).  Integration: the general-path
-substep runs stably with the switch on and the fast paths reject it
-loudly.
+substep runs stably with the switch on; the fast paths (2D + 3D) match
+the general path; sharded (psum dots + per-iteration halo refresh)
+matches single-device on both path families.
 """
 
 import numpy as np

@@ -1,4 +1,4 @@
-"""Surface tension (CSF extension, general path).
+"""Surface tension (CSF extension; general path + both fast paths).
 
 Physics contract: with zero gravity, an isolated 2:1 rectangular drop
 under surface tension pulls toward a circle — the principal second
