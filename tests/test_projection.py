@@ -215,6 +215,42 @@ def test_sharded_fast_incompressible_runs_and_matches():
     np.testing.assert_allclose(x8, x1, atol=1e-5)
 
 
+def test_sharded_fast3d_incompressible_matches_single():
+    """1-axis slab-sharded 3D fast path with the projection: psum dots +
+    gather-only halo refresh on the (G0, G1, G2) planes."""
+    from mpm_flip98a_tpu.models import fast3d
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel import fast_domain3d
+
+    p, scene = scenes.dam_break_3d(
+        num_grids=16, particles_per_axis=(6, 6, 10), dt=2e-5,
+        dtype=np.float32, incompressible=True, pressure_iters=40,
+    )
+    cfg = scene.cfg
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    spec = fast_domain3d.FastDomain3DSpec.for_particles(cfg, n_dev, p, headroom=2.0)
+    b4 = fast_domain3d.distribute(p, cfg, spec, mesh)
+    out4 = fast_domain3d.make_run(scene, spec, mesh)(b4, 10)
+    assert int(np.asarray(out4.overflow).sum()) == 0
+
+    sspec = fast3d.FastSpec3D(
+        rows0=spec.n_shards0 * spec.rows_per_shard0,
+        rows1=spec.rows_per_shard1,
+        capacity=spec.local_spec.capacity,
+    )
+    out1 = fast3d.run(fast3d.from_particles(p, cfg, sspec), scene, sspec, 10)
+    h4, h1 = fast3d.to_host(out4), fast3d.to_host(out1)
+
+    def _s(h):
+        x = np.stack([h["x0"], h["x1"], h["x2"]], -1)
+        return x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+
+    x4, x1 = _s(h4), _s(h1)
+    assert x4.shape == x1.shape
+    np.testing.assert_allclose(x4, x1, atol=1e-5)
+
+
 def test_fast3d_incompressible_matches_general():
     """3D fast-path projection: same PCG on the channel-layout planes."""
     from mpm_flip98a_tpu.models import fast3d
