@@ -44,7 +44,7 @@ import numpy as np
 # Kernel-selection knobs recorded into every artifact (A/B self-description).
 _KNOB_NAMES = (
     "MPM_DOT_MODE", "MPM_P2G_GRID", "MPM_FUSE2D", "MPM_FUSE2D_G2P",
-    "MPM_KC2D", "MPM_KC3D",
+    "MPM_KC2D", "MPM_KC3D", "MPM_GCROP",
 )
 
 # Partial artifact assembled as legs complete; the watchdog prints this on a

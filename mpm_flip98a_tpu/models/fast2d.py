@@ -26,6 +26,7 @@ projection, no lag).
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Tuple
 
@@ -106,6 +107,34 @@ class FastSpec:
             nc = -(-cap // 1024)
             cap = -(-cap // (128 * nc)) * (128 * nc)
         return FastSpec(rows=cfg.num_grids, capacity=cap)
+
+
+def kernel_cols(cfg: MPMConfig) -> int:
+    """Kernel / grid-plane column width for the fast path.
+
+    Mosaic pads the lane (last) dimension of every block to a multiple of
+    128, so the common power-of-two-plus-one grids (129, 513, ...) waste a
+    full extra lane tile in EVERY (K, G) VPU op and MXU pass of the
+    VPU-bound transfer kernels (513 -> 640 lanes, +25%; 129 -> 256, +98%).
+    The grid's LAST column is massless whenever every particle's transfer
+    coordinate satisfies gx1 < hi + 0.5 (hi = num_grids - 1 - PAD): a tap
+    on column num_grids - 1 needs base1 = hi, i.e. the particle half a
+    cell PAST the wall-band node line.  The wall clamp keeps the fluid
+    inside that band, but transient ballistic penetration past hi + 0.5
+    is not impossible, so `substep` additionally clips the TRANSFER
+    coordinate (never the position) to hi + 0.49 when cropped: identity
+    (bit-exact vs the uncropped kernel) for every particle in the safe
+    band, and for a penetrator it scatters/gathers as if at the clamp
+    point — mass, momentum and partition-of-unity preserved exactly,
+    which is strictly better behaved than the silent tap drop the
+    uncropped dense W applies one cell further out (gx1 >= hi + 1.5).
+    The crop is applied only when it saves a lane tile; MPM_GCROP=0
+    disables it for on-chip A/B probes.
+    """
+    g = cfg.num_grids
+    if (g - 1) % 128 == 0 and _os.environ.get("MPM_GCROP", "1") != "0":
+        return g - 1
+    return g
 
 
 def _field_list(b: FluidBuckets):
@@ -190,15 +219,16 @@ def to_host(b: FluidBuckets) -> dict:
     return out
 
 
-def _axis_bands2d(cfg: MPMConfig, nrows: int, row_index0=None):
+def _axis_bands2d(cfg: MPMConfig, nrows: int, ncols: int, row_index0=None):
     """Wall-band masks broadcastable against dense (R, G) channel planes —
     same node sets as models/stabilized._apply_wall_bc (box faces at
     PAD / G-1-PAD).  `row_index0` carries GLOBAL axis-0 node indices for
-    a slab-local buffer (parallel/fast_domain.py)."""
+    a slab-local buffer (parallel/fast_domain.py); `ncols` is the plane's
+    actual column width (kernel_cols — may be num_grids - 1)."""
     g = cfg.num_grids
     lo, hi = int(PAD), g - 1 - int(PAD)
     idx0 = jnp.arange(nrows) if row_index0 is None else row_index0
-    idx1 = jnp.arange(g)
+    idx1 = jnp.arange(ncols)
     return (
         (idx0 <= lo)[:, None], (idx0 >= hi)[:, None],
         (idx1 <= lo)[None, :], (idx1 >= hi)[None, :],
@@ -232,7 +262,9 @@ def _grid_update2d(
     v0x = jnp.where(has, gridsum[:, 0] / safe, 0.0)      # pre-force
     v0y = jnp.where(has, gridsum[:, 1] / safe, 0.0)
     grav = np.asarray(cfg.gravity_acceleration(scene.physics), np.float32)
-    low0, high0, low1, high1 = _axis_bands2d(cfg, gridsum.shape[0], row_index0)
+    low0, high0, low1, high1 = _axis_bands2d(
+        cfg, gridsum.shape[0], gridsum.shape[-1], row_index0
+    )
     if cfg.surface_tension > 0.0:
         # CSF surface tension on the fast path's (R, G) mass plane — same
         # grid-side force as the general path (stabilized._csf_force is
@@ -340,7 +372,7 @@ def _p2g_grid(data, counts, scene: Scene, *, fused, tent, apic, eos="tait"):
     beta = float(cfg.penalty_parameter(scene.physics)) if cfg.use_penalty_ebc else 0.0
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
     return tk.p2g_grid(
-        data, counts, cfg.num_grids, float(cfg.dx),
+        data, counts, kernel_cols(cfg), float(cfg.dx),
         fused=fused, tent=tent, apic=apic, eos=eos,
         kb=float(scene.params.bulk_modulus),
         mu=float(scene.params.dynamic_viscosity),
@@ -363,7 +395,6 @@ def _finish_fused(
     `grid4` (single-chip, from tk.p2g_grid): fold + update already ran
     in-kernel and the buffer is g2p-ready padded — skip straight to G2P."""
     cfg = scene.cfg
-    g = cfg.num_grids
     dx = float(cfg.dx)
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
     if grid4 is None:
@@ -404,7 +435,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     and the wall masks use global row indices."""
     cfg = scene.cfg
     assert cfg.dim == 2
-    g = cfg.num_grids
+    g = kernel_cols(cfg)  # kernel lane / grid-plane column width
     dt = jnp.float32(cfg.dt)
     dx = float(cfg.dx)
     inv_dx = jnp.float32(cfg.inv_dx)
@@ -414,6 +445,14 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
 
     gx0 = b.x0 * inv_dx + jnp.float32(PAD)
     gx1 = b.x1 * inv_dx + jnp.float32(PAD)
+    if g < cfg.num_grids:
+        # Cropped lane width (see kernel_cols): pin the column transfer
+        # coordinate inside the tap-safe band so no stencil tap can land
+        # on the dropped last column.  Identity for every particle that
+        # has not penetrated half a cell past the wall-band node line.
+        gx1 = jnp.minimum(
+            gx1, jnp.float32(cfg.num_grids - 1 - PAD + 0.49)
+        )
     if domain is not None:
         # Kernel row coordinates are local to the slab: bucket row i holds
         # particles with global base row ~ lo + i.
@@ -441,7 +480,6 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     # particle update lands on the critical path while the XLA tail it
     # replaces was cheap.  Defaults pick the winner; env knobs remain
     # for re-measurement at other scales.
-    import os as _os
     fused = (
         scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,)
         and not ext

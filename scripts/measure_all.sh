@@ -22,6 +22,7 @@ run "2D bench" env BENCH_2D_ONLY=1 "$PY" bench.py
 run "2D bench (unfused A/B)" env BENCH_2D_ONLY=1 MPM_P2G_GRID=0 "$PY" bench.py
 run "2D bench (fused G2P A/B)" env BENCH_2D_ONLY=1 MPM_FUSE2D_G2P=1 "$PY" bench.py
 run "2D bench (KC=2048 A/B)" env BENCH_2D_ONLY=1 MPM_KC2D=2048 "$PY" bench.py
+run "2D bench (uncropped 640-lane A/B)" env BENCH_2D_ONLY=1 MPM_GCROP=0 "$PY" bench.py
 run "2D bench (KC=512 A/B)" env BENCH_2D_ONLY=1 MPM_KC2D=512 "$PY" bench.py
 run "3D small bench" env BENCH_3D=1 BENCH_3D_SMALL=1 "$PY" bench.py
 run "3D full bench (8M/256^3)" env BENCH_3D=1 "$PY" bench.py
