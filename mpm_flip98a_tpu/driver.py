@@ -68,6 +68,9 @@ SCENARIOS = {
     # full snow model (mls-mpm88-explained.cpp:17-19,67-69,164-177) in
     # the production material system.
     "snow2d": lambda: scenes.snow_block_2d(),
+    # Drucker-Prager elastoplastic sand (materials.SAND, extension):
+    # column collapse to an angle-of-repose pile (Klar et al. 2016).
+    "sand2d": lambda: scenes.sand_column_2d(),
 }
 
 
@@ -205,7 +208,9 @@ class Simulation:
         palette = np.array(
             [
                 render._hex_rgb(c)
-                for c in (0x2986CC, 0xED553B, 0xF2B134, 0xEDEDF4)  # snow: white
+                # fluid blue, neo-hookean red, corotated amber,
+                # snow white, sand ochre
+                for c in (0x2986CC, 0xED553B, 0xF2B134, 0xEDEDF4, 0xC2A878)
             ],
             np.uint8,
         )

@@ -587,7 +587,19 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
                 t11 = vj * (-pressure + 2.0 * mu * (b.C11 - 0.5 * div))
                 t01 = vj * (2.0 * mu * 0.5 * (b.C01 + b.C10))
                 t10 = t01
-            elif mid == mat.NEO_HOOKEAN:
+            elif mid == mat.SAND:
+                # Drucker-Prager sand (materials.sand_tau_hat) on stacked
+                # (R, K, 2, 2) matrices: the SVD-based Hencky stress has
+                # no cheap component form, and sand is not the headline
+                # bench path — correctness over layout.  Dead slots sit
+                # at F = I (eps = 0, tau = 0), so no masking needed.
+                fm_s = jnp.stack(
+                    [jnp.stack([b.F00, b.F01], -1),
+                     jnp.stack([b.F10, b.F11], -1)], -2
+                )
+                tm_s = mat.sand_tau_hat(scene.params, b.vol0, fm_s)
+                t00, t01 = tm_s[..., 0, 0], tm_s[..., 0, 1]
+                t10, t11 = tm_s[..., 1, 0], tm_s[..., 1, 1]
                 # tau = V0 (mu_s (F F^T - I) + lam_s log(Jf) I)
                 mu_s = jnp.float32(scene.params.mu)
                 lam_s = jnp.float32(scene.params.lam)
@@ -760,10 +772,12 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     f11 = dt * c10 * b.F01 + (1 + dt * c11) * b.F11
     jp_new = b.Jp
     if (scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present) \
-            or mat.SNOW in scene.materials_present:
+            or mat.SNOW in scene.materials_present \
+            or mat.SAND in scene.materials_present:
         # Snow-plasticity singular-value clamp + Jp tracking
-        # (mls-mpm88:164-177).  Dead slots are parked at F = I, Jp = 1,
-        # which the clamp leaves unchanged.
+        # (mls-mpm88:164-177) / sand Drucker-Prager cone projection.
+        # Dead slots are parked at F = I, Jp = 1, which both leave
+        # unchanged.
         fm = jnp.stack(
             [jnp.stack([f00, f01], -1), jnp.stack([f10, f11], -1)], -2
         )

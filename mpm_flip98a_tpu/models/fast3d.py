@@ -629,6 +629,19 @@ def substep(
                     t[a][c] = vj * (
                         (-pressure if a == c else 0.0) + 2.0 * mu * dev
                     )
+        elif mid == mat.SAND:
+            # Drucker-Prager sand (materials.sand_tau_hat) on stacked
+            # (..., 3, 3) matrices — the SVD-based Hencky stress has no
+            # cheap component form; sand is not the headline bench path.
+            # Dead slots sit at F = I (eps = 0, tau = 0).
+            fm_s = jnp.stack(
+                [jnp.stack(fmat[3 * a : 3 * a + 3], -1) for a in range(3)],
+                -2,
+            )
+            tm_s = mat.sand_tau_hat(scene.params, b.vol0, fm_s)
+            for a in range(3):
+                for c in range(3):
+                    t[a][c] = tm_s[..., a, c]
         elif mid == mat.NEO_HOOKEAN:
             # tau = V0 (mu (F F^T - I) + lam log(Jf) I)
             mu_s = jnp.float32(scene.params.mu)
@@ -831,10 +844,11 @@ def substep(
             for c in range(3)
         ]
         if (scene.params.plastic and mat.FIXED_COROTATED in scene.materials_present) \
-                or mat.SNOW in scene.materials_present:
+                or mat.SNOW in scene.materials_present \
+                or mat.SAND in scene.materials_present:
             # Snow-plasticity singular-value clamp + Jp tracking
-            # (mls-mpm88:164-177).  Dead slots are parked at F = I,
-            # Jp = 1, unchanged by the clamp.
+            # (mls-mpm88:164-177) / sand Drucker-Prager cone projection.
+            # Dead slots are parked at F = I, Jp = 1, unchanged by both.
             fm = jnp.stack(
                 [jnp.stack(f_new[3 * a : 3 * a + 3], -1) for a in range(3)], -2
             )

@@ -53,6 +53,13 @@ FIXED_COROTATED = 2
 # that closes the last numerical-feature delta with the C++ side
 # (VERDICT r3 missing #2): Jp lives in Particles.Jp / FluidBuckets.Jp.
 SNOW = 3
+# Drucker-Prager elastoplastic sand (extension beyond the reference's
+# material set; formulation of Klar et al. 2016, "Drucker-Prager
+# Elastoplasticity for Sand Animation"): St. Venant-Kirchhoff elasticity
+# on the Hencky (logarithmic) strain + a non-associative, volume-exact
+# return mapping on the singular values of F.  Cohesionless v1 (no
+# hardening state — Jp is ignored).
+SAND = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +83,10 @@ class MaterialParams:
     hardening: float = 10.0
     jp_clamp_lo: float = 0.6
     jp_clamp_hi: float = 20.0
+    # SAND Drucker-Prager friction angle [degrees] (Klar et al. 2016 §4;
+    # 35 degrees is their quartz-sand example).  The yield-surface slope is
+    # alpha = sqrt(2/3) 2 sin(phi) / (3 - sin(phi)).
+    friction_angle: float = 35.0
 
 
 def fluid_pressure(params: MaterialParams, j_bar: jax.Array) -> jax.Array:
@@ -149,6 +160,79 @@ def snow_tau_hat(
     return volume0[..., None, None] * pf
 
 
+def sand_alpha(params: MaterialParams) -> float:
+    """Drucker-Prager yield-surface slope from the friction angle
+    (Klar et al. 2016 eq. 28): alpha = sqrt(2/3) 2 sin(phi) / (3 - sin(phi)).
+    Static (python float) — the friction angle is a jit-static param."""
+    import math
+
+    s = math.sin(math.radians(params.friction_angle))
+    return math.sqrt(2.0 / 3.0) * 2.0 * s / (3.0 - s)
+
+
+def _hencky(f: jax.Array):
+    """SVD + guarded log singular values: returns (U, sig, V, eps)."""
+    u, sig, v = mathx.svd(f)
+    # Guard the log against collapsed/inverted singular values (dead or
+    # degenerate slots); sand under MPM compression stays well above this.
+    sig_safe = jnp.maximum(sig, jnp.asarray(1e-4, f.dtype))
+    return u, sig, v, jnp.log(sig_safe)
+
+
+def sand_tau_hat(
+    params: MaterialParams, volume0: jax.Array, f: jax.Array
+) -> jax.Array:
+    """Hencky-strain St. Venant-Kirchhoff stress (Klar et al. 2016 eq. 26):
+
+        tau = U (2 mu eps + lam tr(eps) I) U^T,   eps = log(Sigma)
+
+    (the Kirchhoff stress of psi(eps) = mu |eps|^2 + lam/2 tr(eps)^2 is
+    diagonal in the left stretch basis).  tau_hat = V0 tau."""
+    dt = f.dtype
+    u, _, _, eps = _hencky(f)
+    mu = jnp.asarray(params.mu, dt)
+    lam = jnp.asarray(params.lam, dt)
+    diag = 2.0 * mu * eps + (lam * jnp.sum(eps, axis=-1))[..., None]
+    tau = mathx.mm(u * diag[..., None, :], mathx.transpose(u))
+    return volume0[..., None, None] * tau
+
+
+def _sand_project_eps(params: MaterialParams, eps: jax.Array, d: int) -> jax.Array:
+    """Return-map the Hencky strain onto the Drucker-Prager cone
+    (Klar et al. 2016, alg. 1 'Case' analysis, cohesionless):
+
+      expansion (tr eps > 0)     -> tip: eps = 0 (sand separates freely)
+      dg <= 0                    -> elastic, unchanged
+      else                       -> eps - dg * dev(eps)/|dev(eps)|
+      with dg = |dev(eps)| + alpha (d lam + 2 mu) / (2 mu) tr(eps).
+    """
+    dt = eps.dtype
+    mu = jnp.asarray(params.mu, dt)
+    lam = jnp.asarray(params.lam, dt)
+    alpha = jnp.asarray(sand_alpha(params), dt)
+    tr = jnp.sum(eps, axis=-1)
+    ehat = eps - (tr / d)[..., None]
+    en = jnp.sqrt(jnp.sum(ehat * ehat, axis=-1))
+    dg = en + alpha * (d * lam + 2.0 * mu) / (2.0 * mu) * tr
+    en_safe = jnp.maximum(en, jnp.asarray(1e-12, dt))
+    eps_proj = eps - (dg / en_safe)[..., None] * ehat
+    eps_new = jnp.where((dg > 0)[..., None], eps_proj, eps)
+    return jnp.where((tr > 0)[..., None], jnp.zeros_like(eps), eps_new)
+
+
+def sand_return(params: MaterialParams, f: jax.Array) -> jax.Array:
+    """Plastic return mapping applied at F-update time: F <- U exp(eps') V^T
+    with eps' the cone-projected Hencky strain.  Identity for elastic
+    states (the exp/log round-trip is exact to fp rounding)."""
+    u, sig, v, eps = _hencky(f)
+    eps_new = _sand_project_eps(params, eps, f.shape[-1])
+    # Elastic states keep F BITWISE unchanged (no U sig V^T round-trip
+    # rounding): only projected states rebuild from eps'.
+    changed = jnp.any(eps_new != eps, axis=-1)
+    rebuilt = mathx.mm(u * jnp.exp(eps_new)[..., None, :], mathx.transpose(v))
+    return jnp.where(changed[..., None, None], rebuilt, f)
+
+
 def neo_hookean_tau_hat(
     params: MaterialParams, volume0: jax.Array, f: jax.Array
 ) -> jax.Array:
@@ -179,12 +263,20 @@ def plastic_update(
 
     Applies to SNOW particles always, and to FIXED_COROTATED particles
     when ``params.plastic`` (volume-only: their Jp stays untouched —
-    the plain corotated material has no hardening).  Static no-op unless
-    the scene declares a clamping material.  Returns (F, Jp)."""
+    the plain corotated material has no hardening).  SAND particles get
+    the Drucker-Prager cone projection (sand_return) instead of the
+    clamp.  Static no-op unless the scene declares a plastic material.
+    Returns (F, Jp)."""
     clamp_fc = params.plastic and FIXED_COROTATED in materials_present
     has_snow = SNOW in materials_present
-    if not clamp_fc and not has_snow:
+    has_sand = SAND in materials_present
+    if not clamp_fc and not has_snow and not has_sand:
         return f, jp
+    if has_sand and not clamp_fc and not has_snow:
+        if all(m == SAND for m in materials_present):
+            return sand_return(params, f), jp
+        f_s = sand_return(params, f)
+        return jnp.where((material == SAND)[..., None, None], f_s, f), jp
     dt = f.dtype
     u, sig, v = mathx.svd(f)
     sig_c = jnp.clip(
@@ -209,6 +301,11 @@ def plastic_update(
     if has_snow:
         clamped = clamped | (material == SNOW)
         jp = jnp.where(material == SNOW, jp_c, jp)
+    if has_sand:
+        # Mixed sand + clamping materials: cone-project the sand slots.
+        f = jnp.where(
+            (material == SAND)[..., None, None], sand_return(params, f), f
+        )
     if all(
         (m == SNOW) or (m == FIXED_COROTATED and clamp_fc)
         for m in materials_present
@@ -243,6 +340,8 @@ def tau_hat(
             return neo_hookean_tau_hat(params, volume0, f)
         if mid == SNOW:
             return snow_tau_hat(params, volume0, f, jp)
+        if mid == SAND:
+            return sand_tau_hat(params, volume0, f)
         return fixed_corotated_tau_hat(params, volume0, f)
 
     if len(materials_present) == 1:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from mpm_flip98a_tpu.config import MPMConfig, Physics
 from mpm_flip98a_tpu.models import materials as mat
-from mpm_flip98a_tpu.models.stabilized import Scene, WallBC
+from mpm_flip98a_tpu.models.stabilized import PAD, Scene, WallBC
 from mpm_flip98a_tpu.state import Particles
 
 
@@ -172,6 +172,52 @@ def snow_block_2d(
             lam=youngs * poisson / ((1 + poisson) * (1 - 2 * poisson)),
         ),
         materials_present=(mat.SNOW,),
+        mass_floor=_floor_of(p),
+    )
+    return p, scene
+
+
+def sand_column_2d(
+    cfg: Optional[MPMConfig] = None,
+    physics: Physics = Physics(),
+    dtype=np.float64,
+    width_frac: float = 0.14,
+    height_frac: float = 0.38,
+    particles_per_axis: Tuple[int, int] = (28, 76),
+    youngs: float = 3.537e5,
+    poisson: float = 0.3,
+    friction_angle: float = 35.0,
+) -> Tuple[Particles, Scene]:
+    """Sand column collapse: the Drucker-Prager SAND material (extension
+    beyond the reference's material set; Klar et al. 2016 §8 column test,
+    with their quartz-sand parameters E = 3.537e5 Pa, nu = 0.3,
+    phi = 35 degrees, rho = 2200 kg/m^3).  A column standing on the floor
+    loses its footing under gravity and flows out into a pile whose slope
+    is set by the friction angle — qualitatively unreachable for the
+    fluid (spreads flat) or the elastic solids (bounce/stand)."""
+    cfg = cfg or MPMConfig(dtype=np.dtype(dtype).name)
+    l = cfg.domain_length
+    w = width_frac * l
+    h = height_frac * l
+    floor_y = (PAD + 0.55) * cfg.dx  # just above the wall band
+    nx, ny = particles_per_axis
+    x = _lattice((nx, ny), (0.5 * (l - w), floor_y), (w, h), dtype)
+    rho_sand = 2200.0
+    p = Particles.init(
+        jnp.asarray(x),
+        volume0=w * h / (nx * ny),
+        density=rho_sand,
+        material=jnp.full((len(x),), mat.SAND, jnp.int32),
+    )
+    scene = Scene(
+        cfg=cfg,
+        physics=physics,
+        params=mat.MaterialParams(
+            mu=youngs / (2 * (1 + poisson)),
+            lam=youngs * poisson / ((1 + poisson) * (1 - 2 * poisson)),
+            friction_angle=friction_angle,
+        ),
+        materials_present=(mat.SAND,),
         mass_floor=_floor_of(p),
     )
     return p, scene
