@@ -197,3 +197,31 @@ def test_sand_column_collapse_is_friction_governed():
     h_hi, w_hi = settle(45.0)
     assert h_hi > 1.2 * h_lo      # steeper pile at higher friction
     assert w_hi < 0.8 * w_lo      # narrower run-out at higher friction
+
+
+def test_sand_sharded_matches_single():
+    # The sharded fast path runs the same substep code — sand's stress
+    # and cone projection must survive slab sharding + migration intact.
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel.fast_domain import (
+        FastDomainSpec,
+        distribute,
+        make_run,
+    )
+
+    p, scene = _column_scene()
+    mesh = make_mesh(4)
+    spec = FastDomainSpec.for_particles(scene.cfg, 4, p, headroom=2.0)
+    b = distribute(p, scene.cfg, spec, mesh)
+    out = make_run(scene, spec, mesh)(b, 50)
+    spec1 = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=2.0)
+    ref = fast2d.run(
+        fast2d.from_particles(p, scene.cfg, spec1), scene, spec1, 50
+    )
+    h, hr = fast2d.to_host(out), fast2d.to_host(ref)
+    np.testing.assert_allclose(
+        _sorted_xy(np.stack([h["x0"], h["x1"]], -1)),
+        _sorted_xy(np.stack([hr["x0"], hr["x1"]], -1)),
+        atol=1e-5,
+    )
+    assert int(np.asarray(out.overflow).sum()) == 0
