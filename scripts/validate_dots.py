@@ -65,6 +65,58 @@ def pou_probe():
     return n_viol == 0, float(err.max())
 
 
+def crop_probe():
+    """Lane-width crop (fast2d.kernel_cols) ON THE REAL TPU: p2g/g2p at
+    num_grids - 1 columns must agree with the uncropped width on shared
+    columns (to bf16x3 reassociation level), with an exactly-zero dropped
+    column, and the PoU must hold through a cropped gather.  Interpret
+    mode hid BOTH previous silent-wrong-answer TPU bugs (default-precision
+    dots, the fold miscompile), so the crop counts as validated only
+    after this passes on hardware."""
+    rng = np.random.default_rng(0)
+    r, k, g = 32, 512, 129
+    counts = np.full((r,), k // 2, np.int32)
+    gx0 = (
+        np.repeat(np.arange(r, dtype=np.float32)[:, None], k, 1)
+        + rng.uniform(0.45, 0.55, (r, k)).astype(np.float32)
+    )
+    gx1 = rng.uniform(float(PAD), float(g - 1 - PAD), (r, k)).astype(np.float32)
+    maskk = (np.arange(k)[None, None, :] < counts[:, None, None]).astype(np.float32)
+    vals = rng.normal(size=(r, 12, k)).astype(np.float32) * maskk
+    pdata = jnp.asarray(np.concatenate([gx0[:, None], gx1[:, None], vals], axis=1))
+    cj = jnp.asarray(counts)
+    full = np.asarray(tk.p2g(pdata, cj, g, 1.0))
+    crop = np.asarray(tk.p2g(pdata, cj, g - 1, 1.0))
+    scale = np.abs(full).max()
+    d_p2g = np.abs(crop - full[..., : g - 1]).max() / scale
+    last = np.abs(full[..., g - 1]).max()
+
+    pdata2 = jnp.asarray(
+        np.concatenate([gx0[:, None], gx1[:, None], maskk[:, :1]], axis=1)
+    )
+    grid = rng.normal(size=(r, 4, g)).astype(np.float32)
+    grid[..., g - 1] = 0.0
+    gfull = np.asarray(tk.g2p(pdata2, cj, jnp.asarray(grid), 1.0, 4.0))
+    gcrop = np.asarray(tk.g2p(pdata2, cj, jnp.asarray(grid[..., : g - 1]), 1.0, 4.0))
+    d_g2p = np.abs(gcrop - gfull).max() / np.abs(gfull).max()
+
+    ones = jnp.ones((r, 4, g - 1), jnp.float32)
+    pou = np.asarray(tk.g2p(pdata2, cj, ones, 1.0, 1.0))[:, 0, :]
+    # Interior rows only: edge-row particles tap the zero row padding, so
+    # their weight sums are legitimately < 1 in this synthetic setup.
+    inner = slice(2, r - 3)
+    pou_err = np.abs(
+        pou[inner][np.asarray(maskk[inner, 0]) > 0] - 1.0
+    ).max()
+    print(
+        f"crop probe: rel|p2g crop-full|={d_p2g:.3e} last-col={last:.3e} "
+        f"rel|g2p crop-full|={d_g2p:.3e} cropped-PoU err={pou_err:.3e}",
+        flush=True,
+    )
+    ok = d_p2g < 1e-4 and last == 0.0 and d_g2p < 1e-4 and pou_err < 1e-5
+    return ok, float(max(d_p2g, d_g2p))
+
+
 def tap_2d():
     cfg = MPMConfig(
         dtype="float32", num_grids=65, dt=1e-5,
@@ -174,15 +226,16 @@ def main():
     mode = os.environ.get("MPM_DOT_MODE", "bf16x3")
     print(f"backend={jax.default_backend()} MPM_DOT_MODE={mode}", flush=True)
     ok1, pou = pou_probe()
+    ok6, crop = crop_probe()
     ok2, tap = tap_2d()
     ok4, tap3 = tap_3d()
     ok5, vmaxf = stability_3d_fluid()
     ok3, vmax = stability_3d()
     print(
-        f"RESULT mode={mode} pou_ok={ok1} tap_ok={ok2} tap3d_ok={ok4} "
-        f"fluid_stable_ok={ok5} stable_ok={ok3}", flush=True,
+        f"RESULT mode={mode} pou_ok={ok1} crop_ok={ok6} tap_ok={ok2} "
+        f"tap3d_ok={ok4} fluid_stable_ok={ok5} stable_ok={ok3}", flush=True,
     )
-    sys.exit(0 if (ok1 and ok2 and ok3 and ok4 and ok5) else 1)
+    sys.exit(0 if (ok1 and ok2 and ok3 and ok4 and ok5 and ok6) else 1)
 
 
 if __name__ == "__main__":
