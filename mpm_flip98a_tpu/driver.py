@@ -71,6 +71,9 @@ SCENARIOS = {
     # Drucker-Prager elastoplastic sand (materials.SAND, extension):
     # column collapse to an angle-of-repose pile (Klar et al. 2016).
     "sand2d": lambda: scenes.sand_column_2d(),
+    # Rigid SDF collider (models/colliders.py, extension): dam break
+    # splitting around a cylinder in the run-out path.
+    "dam2d_obstacle": lambda: scenes.dam_break_obstacle_2d(),
 }
 
 

@@ -1,0 +1,158 @@
+"""Rigid SDF colliders (extension beyond the reference's box walls).
+
+The reference confines material with the padded box faces only
+(cpp_validation/mls-mpm88-explained.cpp:122-128).  Production MPM needs
+obstacles: this module adds static rigid colliders defined by a signed
+distance function — sphere and halfspace — with slip or sticky surfaces
+and an optional constant surface velocity (a conveyor/spinner boundary
+condition; the geometry itself does not move).
+
+TPU-first design: collision acts on GRID velocities (the classic MPM
+grid-collision treatment), which is a pure elementwise projection over
+node planes — no particle-side branching, no scatter, and it works
+unchanged on slab-sharded buffers because it is pointwise (callers pass
+global node coordinates for their shard window).  The same helper serves
+every layout through broadcasting: the general path passes dense
+(G, ..., d)-component arrays, the fast paths pass per-channel
+(R, G)/(R0, R1, G2) planes with (R, 1)/(1, G)-shaped coordinates.
+
+At a node with signed distance phi <= 0 and outward normal n:
+
+    vrel = v - v_surface
+    slip   : vrel' = vrel - min(vrel . n, 0) n   (remove approach only)
+    sticky : vrel' = 0
+    v      = vrel' + v_surface
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Collider:
+    """Static rigid collider (hashable, jit-static — lives on Scene).
+
+    kind      : 'sphere' | 'halfspace'
+    center    : sphere center / any point on the halfspace surface [m]
+    radius    : sphere radius [m] (sphere only)
+    normal    : halfspace OUTWARD normal (pointing away from the solid;
+                need not be normalized — it is normalized here)
+    sticky    : sticky (True) or slip (False) surface
+    velocity  : constant surface velocity [m/s] (conveyor BC)
+    angular   : angular velocity about `center` [rad/s] — (omega_z,) in
+                2D, (wx, wy, wz) in 3D; the surface velocity at a point
+                is velocity + omega x (x - center) (spinner/mixer BC).
+                The geometry itself is static — only the BC velocity
+                field rotates, exact for rotationally symmetric shapes
+                (spheres, or a halfspace spinning about its normal).
+    """
+
+    kind: str
+    center: Tuple[float, ...]
+    radius: float = 0.0
+    normal: Tuple[float, ...] = ()
+    sticky: bool = False
+    velocity: Tuple[float, ...] = ()
+    angular: Tuple[float, ...] = ()
+
+    def __post_init__(self):
+        assert self.kind in ("sphere", "halfspace"), self.kind
+        if self.kind == "halfspace":
+            assert len(self.normal) == len(self.center), self
+        if self.velocity:
+            assert len(self.velocity) == len(self.center), self
+        if self.angular:
+            d = len(self.center)
+            assert len(self.angular) == (1 if d == 2 else 3), self
+
+
+def phi_normal(c: Collider, coords):
+    """Signed distance (< 0 inside the solid) and outward normal at the
+    broadcastable coordinate arrays `coords` (one per axis)."""
+    d = len(coords)
+    dt_ = coords[0].dtype
+    if c.kind == "sphere":
+        diff = [coords[a] - jnp.asarray(c.center[a], dt_) for a in range(d)]
+        r = jnp.sqrt(sum(x * x for x in diff))
+        r_safe = jnp.maximum(r, jnp.asarray(1e-12, dt_))
+        n = [x / r_safe for x in diff]
+        return r - jnp.asarray(c.radius, dt_), n
+    # halfspace: phi = n . (x - p), constant normal
+    import math
+
+    nn = math.sqrt(sum(x * x for x in c.normal))
+    nu = [x / nn for x in c.normal]
+    phi = sum(
+        jnp.asarray(nu[a], dt_) * (coords[a] - jnp.asarray(c.center[a], dt_))
+        for a in range(d)
+    )
+    n = [jnp.broadcast_to(jnp.asarray(nu[a], dt_), phi.shape) for a in range(d)]
+    return phi, n
+
+
+def project(vs, coords, colliders: Tuple[Collider, ...]):
+    """Project per-component grid velocity arrays `vs` (list, one per
+    axis, mutually broadcastable with the `coords` arrays) through every
+    collider.  Returns the projected component list.  Pointwise — sharded
+    callers pass global coordinates for their local window and need no
+    halo."""
+    d = len(vs)
+    dt_ = vs[0].dtype
+    for c in colliders:
+        phi, n = phi_normal(c, coords)
+        inside = phi <= 0
+        vel = c.velocity or (0.0,) * d
+        vsurf = [jnp.asarray(vel[a], dt_) for a in range(d)]
+        if c.angular:
+            # Spinner BC: v_surface += omega x (x - center).
+            r = [coords[a] - jnp.asarray(c.center[a], dt_) for a in range(d)]
+            if d == 2:
+                w = jnp.asarray(c.angular[0], dt_)
+                vsurf = [vsurf[0] - w * r[1], vsurf[1] + w * r[0]]
+            else:
+                wx, wy, wz = (jnp.asarray(w_, dt_) for w_ in c.angular)
+                vsurf = [
+                    vsurf[0] + wy * r[2] - wz * r[1],
+                    vsurf[1] + wz * r[0] - wx * r[2],
+                    vsurf[2] + wx * r[1] - wy * r[0],
+                ]
+        vrel = [vs[a] - vsurf[a] for a in range(d)]
+        if c.sticky:
+            proj = [jnp.zeros_like(v) for v in vrel]
+        else:
+            vn = sum(vrel[a] * n[a] for a in range(d))
+            approach = jnp.minimum(vn, 0.0)
+            proj = [vrel[a] - approach * n[a] for a in range(d)]
+        vs = [
+            jnp.where(inside, proj[a] + vsurf[a], vs[a]) for a in range(d)
+        ]
+    return vs
+
+
+def inside_any(coords, colliders: Tuple[Collider, ...]):
+    """Boolean mask of nodes inside ANY collider (phi <= 0) — used by the
+    incompressible projection to treat collider interiors as solid
+    (Neumann) nodes in the pressure solve."""
+    inside = None
+    for c in colliders:
+        phi, _ = phi_normal(c, coords)
+        m = phi <= 0
+        inside = m if inside is None else (inside | m)
+    return inside
+
+
+def node_coords(cfg, axis_indices, dtype=jnp.float32):
+    """Physical node positions from grid indices: x = (idx - PAD) dx.
+    `axis_indices` are broadcastable per-axis index arrays (global
+    indices on sharded windows)."""
+    from mpm_flip98a_tpu.models.stabilized import PAD
+
+    return [
+        (idx.astype(dtype) - jnp.asarray(PAD, dtype))
+        * jnp.asarray(cfg.dx, dtype)
+        for idx in axis_indices
+    ]

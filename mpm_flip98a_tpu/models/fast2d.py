@@ -321,6 +321,21 @@ def _grid_update2d(
             vx = jnp.where(high0, jnp.minimum(vx, 0.0), vx)
             vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
             vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
+    col_solid = None
+    if scene.colliders:
+        # EXTENSION: rigid SDF colliders (models/colliders.py) on the
+        # (R, G) planes — pointwise, so sharded slabs just pass global
+        # row indices.  Same placement as the general path: after the
+        # wall/penalty BC, before any grid-side solve.
+        from mpm_flip98a_tpu.models import colliders as _col
+
+        idx0 = (
+            jnp.arange(gridsum.shape[0]) if row_index0 is None else row_index0
+        )[:, None]
+        idx1 = jnp.arange(gridsum.shape[-1])[None, :]
+        coords = _col.node_coords(cfg, [idx0, idx1])
+        vx, vy = _col.project([vx, vy], coords, scene.colliders)
+        col_solid = _col.inside_any(coords, scene.colliders)
     if cfg.incompressible:
         # Chorin projection on the fast path's (R, G) velocity planes —
         # consumes only grid data the fast path already owns (VERDICT r3
@@ -348,6 +363,7 @@ def _grid_update2d(
             dx=float(cfg.dx), lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
             row_index0=row_index0, axis=ax, halo=halo, own=own,
+            solid_extra=col_solid,
         )
     gch = [vx, vy, v0x, v0y]
     if ext:
@@ -491,9 +507,13 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
     # scratch, tk.p2g_grid) and emits the g2p-ready padded grid.
     # MPM_P2G_GRID=0 re-selects the unfused p2g + fold + XLA-update
     # pipeline for A/B probes.
-    # Grid-side extensions (CSF / incompressible projection) run in XLA on
-    # the updated planes, so the in-kernel grid update must stand down.
-    ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
+    # Grid-side extensions (CSF / incompressible projection / colliders)
+    # run in XLA on the updated planes, so the in-kernel grid update must
+    # stand down.
+    ext_grid = (
+        cfg.incompressible or cfg.surface_tension > 0.0
+        or bool(scene.colliders)
+    )
     use_fu = (
         domain is None and grid_reduce is None and scene.mass_floor > 0.0
         and not ext_grid

@@ -358,6 +358,29 @@ def _grid_update(
             # form, bitwise a no-op when surface tension is off.
             vng = vng + jnp.where(hc, st / safe[:, :, None], 0.0)
         v_new = _wall_bc_ch(vng, cfg, scene.wall, row_index0, row_index1)
+    col_solid = None
+    if scene.colliders:
+        # EXTENSION: rigid SDF colliders (models/colliders.py) on the
+        # (G0, G1, G2) component planes — pointwise; sharded windows pass
+        # global row indices.  After the wall/penalty BC.
+        from mpm_flip98a_tpu.models import colliders as _col
+
+        g0, g1 = gs.shape[0], gs.shape[1]
+        idx0 = (jnp.arange(g0) if row_index0 is None else row_index0)
+        idx1 = (jnp.arange(g1) if row_index1 is None else row_index1)
+        coords = _col.node_coords(
+            cfg,
+            [
+                idx0[:, None, None],
+                idx1[None, :, None],
+                jnp.arange(gs.shape[-1])[None, None, :],
+            ],
+        )
+        comps = _col.project(
+            [v_new[:, :, a] for a in range(3)], coords, scene.colliders
+        )
+        v_new = jnp.stack(comps, axis=2)
+        col_solid = _col.inside_any(coords, scene.colliders)
     if cfg.incompressible:
         # Chorin projection on the (G0, G1, G2) velocity planes between
         # grid update and G2P (VERDICT r3 item 4); sharded slabs/pencils
@@ -376,6 +399,7 @@ def _grid_update(
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
             row_index0=row_index0, row_index1=row_index1,
             axis=ext_axis, halo=ext_halo, own=ext_own,
+            solid_extra=col_solid,
         )
         v_new = jnp.stack(vs, axis=2)
     gparts = [v_new, v0g]
@@ -534,7 +558,10 @@ def substep(
     # D^-1 reconstruction below.)
     # Grid-side extensions (CSF / incompressible projection) run in XLA on
     # the updated planes: the in-kernel grid-update paths stand down.
-    ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
+    ext_grid = (
+        cfg.incompressible or cfg.surface_tension > 0.0
+        or bool(scene.colliders)
+    )
     fused = (
         scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,)
         and not ext

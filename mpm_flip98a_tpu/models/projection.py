@@ -89,6 +89,7 @@ def project_planes(
     axis=None,
     halo=None,
     own: jax.Array | None = None,
+    solid_extra: jax.Array | None = None,
 ):
     """Plane-form core: vs is a tuple of d velocity-component arrays, each
     shaped like `g_m` (axis a of the array <-> component a).  Avoids the
@@ -127,6 +128,13 @@ def project_planes(
     solid = jnp.zeros(shape, bool)
     for a in range(d):
         solid = solid | (axis_idx[a] <= lo) | (axis_idx[a] >= hi)
+    if solid_extra is not None:
+        # Rigid-collider interiors (models/colliders.py): Neumann like the
+        # walls.  Their (collider-BC-projected) velocities still enter the
+        # unmasked RHS divergence at adjacent fluid nodes — the correct
+        # inhomogeneous solid-boundary source — while the zero edge masks
+        # pin them through the correction.
+        solid = solid | jnp.broadcast_to(solid_extra, shape)
     fluid = (g_m > floor) & ~solid
     fluid_f = fluid.astype(dt_)
     nonsolid = (~solid).astype(dt_)
@@ -175,29 +183,49 @@ def project_planes(
     rho0 = gsum(b * z0 * ownf)
 
     def body(state):
-        q, r, p, rho, rs, it = state
+        q, r, p, rho, rs, it, good = state
         p = sync(p)
         ap = lap(p) * ownf
-        alpha = rho / jnp.maximum(gsum(p * ap * ownf), jnp.finfo(dt_).tiny)
+        pap = gsum(p * ap * ownf)
+        # Breakdown guard: on a singular/inconsistent system (e.g. fluid
+        # fully enclosed by solid — pure Neumann with no free surface —
+        # the compatibility condition sum(b)=0 fails and p acquires a
+        # null-space component), pap collapses relative to |p|^2 and the
+        # naive alpha = rho/pap explodes.  Healthy dimensionless-Laplacian
+        # eigenvalues are >= ~2 pi^2 / G^2 (1e-6 at G=4097), so 1e-9 |p|^2
+        # only fires on genuine breakdown.  Exit with the current
+        # (finite) q rather than stepping along the null direction.
+        pp = gsum(p * p * ownf)
+        breakdown = pap <= jnp.asarray(1e-9, dt_) * pp
+        alpha = jnp.where(
+            breakdown, 0.0, rho / jnp.maximum(pap, jnp.finfo(dt_).tiny)
+        )
         q = q + alpha * p
         r = r - alpha * ap
         rs_new = gsum(r * r * ownf)
+        # Divergence guard: a residual blown past 1e6 x |b|^2 (or non-
+        # finite) means q is garbage — drop the whole correction.
+        diverged = ~jnp.isfinite(rs_new) | (rs_new > jnp.asarray(1e6, dt_) * b2)
+        good = good & ~diverged
         z = precond(r)
         rho_new = gsum(r * z * ownf)
         p = z + (rho_new / jnp.maximum(rho, jnp.finfo(dt_).tiny)) * p
-        return q, r, p, rho_new, rs_new, it + 1
+        it_next = jnp.where(breakdown | diverged, iters, it + 1)
+        return q, r, p, rho_new, rs_new, it_next, good
 
     def cond(state):
-        _, _, _, _, rs, it = state
+        _, _, _, _, rs, it, _ = state
         return (it < iters) & (rs > tol * tol * b2)
 
     q0 = b * 0  # inherits b's varying-axes type under shard_map vma checks
-    q, r, _, _, rs, _ = jax.lax.while_loop(
-        cond, body, (q0, b, z0, rho0, b2, 0)
+    q, r, _, _, rs, _, good = jax.lax.while_loop(
+        cond, body, (q0, b, z0, rho0, b2, 0, jnp.asarray(True))
     )
     # q is only meaningful on fluid nodes (Dirichlet 0 elsewhere); refresh
-    # halos so the edge corrections below see the owners' values.
-    q = sync(q * fluid_f)
+    # halos so the edge corrections below see the owners' values.  A
+    # diverged solve contributes nothing (good=False -> q=0: the substep
+    # falls back to the unprojected velocities instead of exploding).
+    q = sync(q * fluid_f * good.astype(dt_))
 
     # v_a[n] -= m_a[n] (q[n+e_a] - q[n]) / dx on EVERY non-solid edge.
     # q's support is fluid nodes, so only edges touching fluid move; the
@@ -225,6 +253,7 @@ def project(
     hi: int,
     iters: int = 60,
     tol: float = 1e-4,
+    solid_extra: jax.Array | None = None,
 ):
     """Stacked-layout wrapper: make `v` (G..., d) discretely
     divergence-free on fluid nodes (single-device; see `project_planes`
@@ -239,5 +268,6 @@ def project(
         hi=hi,
         iters=iters,
         tol=tol,
+        solid_extra=solid_extra,
     )
     return jnp.stack(vs, axis=-1), q, resid

@@ -177,6 +177,34 @@ def snow_block_2d(
     return p, scene
 
 
+def dam_break_obstacle_2d(
+    cfg: Optional[MPMConfig] = None,
+    physics: Physics = Physics(),
+    dtype=np.float64,
+    sticky: bool = False,
+    center_frac: Tuple[float, float] = (0.55, 0.10),
+    radius_frac: float = 0.08,
+) -> Tuple[Particles, Scene]:
+    """Dam break over a rigid sphere obstacle (collider extension,
+    models/colliders.py): the collapsing column hits a cylinder standing
+    in the run-out path and splits around it.  Grid-velocity collision —
+    the classic MPM rigid-obstacle treatment the reference's box-only
+    walls cannot express."""
+    import dataclasses as _dc
+
+    p, scene = dam_break_2d(cfg, physics=physics, dtype=dtype)
+    from mpm_flip98a_tpu.models.colliders import Collider
+
+    l = scene.cfg.domain_length
+    sphere = Collider(
+        kind="sphere",
+        center=(center_frac[0] * l, center_frac[1] * l),
+        radius=radius_frac * l,
+        sticky=sticky,
+    )
+    return p, _dc.replace(scene, colliders=(sphere,))
+
+
 def sand_column_2d(
     cfg: Optional[MPMConfig] = None,
     physics: Physics = Physics(),

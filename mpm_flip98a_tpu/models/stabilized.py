@@ -101,6 +101,11 @@ class Scene:
     params: mat.MaterialParams = mat.MaterialParams()
     materials_present: Tuple[int, ...] = (mat.WEAKLY_COMPRESSIBLE_FLUID,)
     wall: WallBC = WallBC()
+    # Rigid SDF colliders (extension — models/colliders.py): static
+    # sphere/halfspace obstacles with slip/sticky surfaces and optional
+    # constant surface velocity, applied as a grid-velocity projection
+    # in every path's grid update.
+    colliders: tuple = ()
     # Absolute grid-mass floor (kg): nodes below it are treated as empty
     # in the grid update.  Scene builders set 1e-8 x the lightest particle
     # mass; 0.0 falls back to the relative floor 1e-8 * max(g_m).  An
@@ -492,6 +497,29 @@ def substep_grid(
         v_new = jnp.where(has_mass[..., None], rhs / safe_m[..., None], 0.0)
         v_new = _apply_wall_bc(v_new, cfg, scene.wall, grid_shape, ctx.row_index0)
 
+    col_solid = None
+    if scene.colliders:
+        # EXTENSION: rigid SDF colliders (models/colliders.py) — a
+        # pointwise grid-velocity projection, after the wall/penalty BC.
+        from mpm_flip98a_tpu.models import colliders as _col
+
+        axis_idx = _axis_indices(cfg, grid_shape, ctx.row_index0)
+        shaped = [
+            axis_idx[a].reshape(
+                tuple(grid_shape[a] if i == a else 1 for i in range(d))
+            )
+            for a in range(d)
+        ]
+        coords = _col.node_coords(cfg, shaped, dt_)
+        comps = _col.project(
+            [v_new[..., a] for a in range(d)], coords, scene.colliders
+        )
+        v_new = jnp.stack(comps, axis=-1)
+        # The pressure solve below treats collider interiors as solid
+        # (Neumann), keeping their BC velocities pinned while their
+        # motion sources the RHS divergence at adjacent fluid nodes.
+        col_solid = _col.inside_any(coords, scene.colliders)
+
     if cfg.incompressible:
         # EXTENSION: nodal Chorin projection (models/projection.py) —
         # divergence-free grid velocities each substep; see the config
@@ -513,6 +541,7 @@ def substep_grid(
             iters=int(cfg.pressure_iters), tol=float(cfg.pressure_tol),
             row_index0=ctx.row_index0, axis=ctx.axis,
             halo=ctx.halo_exchange, own=ctx.own_rows,
+            solid_extra=col_solid,
         )
         v_new = jnp.stack(vs, axis=-1)
 
