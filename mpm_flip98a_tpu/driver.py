@@ -74,6 +74,9 @@ SCENARIOS = {
     # Rigid SDF collider (models/colliders.py, extension): dam break
     # splitting around a cylinder in the run-out path.
     "dam2d_obstacle": lambda: scenes.dam_break_obstacle_2d(),
+    # Kinematic collider: a cylinder sweeping through the pool at
+    # constant velocity (center_velocity BC).
+    "plow2d": lambda: scenes.plow_2d(),
 }
 
 
@@ -224,13 +227,24 @@ class Simulation:
     def step_frame(self, n_substeps: Optional[int] = None) -> None:
         n = n_substeps or self.cfg.substeps_per_frame
         t0 = time.perf_counter()
+        # Kinematic colliders see simulation time: total_time is the
+        # substep-count-accurate clock (and survives checkpoint resume).
+        from mpm_flip98a_tpu.models import colliders as _col
+
+        sim_t0 = (
+            self.total_time
+            if self.scene.colliders and _col.any_moving(self.scene.colliders)
+            else None
+        )
         with self.timers.scope("substeps", sync=None):
             if self.devices > 1:
-                self.state = self._sharded_run(self.state, n)
+                self.state = self._sharded_run(self.state, n, sim_t0)
             elif self.path == "fast":
-                self.state = self._fast.run(self.state, self.scene, self.spec, n)
+                self.state = self._fast.run(
+                    self.state, self.scene, self.spec, n, sim_t0
+                )
             else:
-                self.state = stabilized.run(self.state, self.scene, n)
+                self.state = stabilized.run(self.state, self.scene, n, sim_t0)
             device_sync(self.state)
         self.meter.update(n, time.perf_counter() - t0)
         self.total_time += n * self.cfg.dt

@@ -49,6 +49,13 @@ class Collider:
                 The geometry itself is static — only the BC velocity
                 field rotates, exact for rotationally symmetric shapes
                 (spheres, or a halfspace spinning about its normal).
+    center_velocity : constant velocity of the GEOMETRY [m/s] (kinematic
+                collider): at simulation time t the effective center is
+                center + center_velocity * t, and the surface velocity
+                gains + center_velocity so material is carried, not
+                tunnelled through.  Callers thread t (run()'s t0 + i dt)
+                into project()/inside_any(); t=None keeps the collider
+                static regardless.
     """
 
     kind: str
@@ -58,6 +65,7 @@ class Collider:
     sticky: bool = False
     velocity: Tuple[float, ...] = ()
     angular: Tuple[float, ...] = ()
+    center_velocity: Tuple[float, ...] = ()
 
     def __post_init__(self):
         assert self.kind in ("sphere", "halfspace"), self.kind
@@ -68,15 +76,39 @@ class Collider:
         if self.angular:
             d = len(self.center)
             assert len(self.angular) == (1 if d == 2 else 3), self
+        if self.center_velocity:
+            assert len(self.center_velocity) == len(self.center), self
+
+    @property
+    def moving(self) -> bool:
+        return bool(self.center_velocity) and any(
+            v != 0.0 for v in self.center_velocity
+        )
 
 
-def phi_normal(c: Collider, coords):
+def _center_at(c: Collider, dt_, t):
+    """Per-axis effective center at simulation time t (scalar traced
+    array or None = 0)."""
+    d = len(c.center)
+    if t is None or not c.moving:
+        return [jnp.asarray(c.center[a], dt_) for a in range(d)]
+    tt = jnp.asarray(t, dt_)
+    return [
+        jnp.asarray(c.center[a], dt_)
+        + jnp.asarray(c.center_velocity[a], dt_) * tt
+        for a in range(d)
+    ]
+
+
+def phi_normal(c: Collider, coords, t=None):
     """Signed distance (< 0 inside the solid) and outward normal at the
-    broadcastable coordinate arrays `coords` (one per axis)."""
+    broadcastable coordinate arrays `coords` (one per axis), with the
+    geometry advected to simulation time `t` for kinematic colliders."""
     d = len(coords)
     dt_ = coords[0].dtype
+    ctr = _center_at(c, dt_, t)
     if c.kind == "sphere":
-        diff = [coords[a] - jnp.asarray(c.center[a], dt_) for a in range(d)]
+        diff = [coords[a] - ctr[a] for a in range(d)]
         r = jnp.sqrt(sum(x * x for x in diff))
         r_safe = jnp.maximum(r, jnp.asarray(1e-12, dt_))
         n = [x / r_safe for x in diff]
@@ -87,29 +119,34 @@ def phi_normal(c: Collider, coords):
     nn = math.sqrt(sum(x * x for x in c.normal))
     nu = [x / nn for x in c.normal]
     phi = sum(
-        jnp.asarray(nu[a], dt_) * (coords[a] - jnp.asarray(c.center[a], dt_))
-        for a in range(d)
+        jnp.asarray(nu[a], dt_) * (coords[a] - ctr[a]) for a in range(d)
     )
     n = [jnp.broadcast_to(jnp.asarray(nu[a], dt_), phi.shape) for a in range(d)]
     return phi, n
 
 
-def project(vs, coords, colliders: Tuple[Collider, ...]):
+def project(vs, coords, colliders: Tuple[Collider, ...], t=None):
     """Project per-component grid velocity arrays `vs` (list, one per
     axis, mutually broadcastable with the `coords` arrays) through every
     collider.  Returns the projected component list.  Pointwise — sharded
     callers pass global coordinates for their local window and need no
-    halo."""
+    halo.  `t` (traced scalar) advects kinematic colliders; their
+    translation velocity joins the surface velocity."""
     d = len(vs)
     dt_ = vs[0].dtype
     for c in colliders:
-        phi, n = phi_normal(c, coords)
+        phi, n = phi_normal(c, coords, t)
         inside = phi <= 0
         vel = c.velocity or (0.0,) * d
-        vsurf = [jnp.asarray(vel[a], dt_) for a in range(d)]
+        cvel = c.center_velocity or (0.0,) * d
+        vsurf = [
+            jnp.asarray(vel[a], dt_) + jnp.asarray(cvel[a], dt_)
+            for a in range(d)
+        ]
         if c.angular:
-            # Spinner BC: v_surface += omega x (x - center).
-            r = [coords[a] - jnp.asarray(c.center[a], dt_) for a in range(d)]
+            # Spinner BC: v_surface += omega x (x - center(t)).
+            ctr = _center_at(c, dt_, t)
+            r = [coords[a] - ctr[a] for a in range(d)]
             if d == 2:
                 w = jnp.asarray(c.angular[0], dt_)
                 vsurf = [vsurf[0] - w * r[1], vsurf[1] + w * r[0]]
@@ -133,16 +170,23 @@ def project(vs, coords, colliders: Tuple[Collider, ...]):
     return vs
 
 
-def inside_any(coords, colliders: Tuple[Collider, ...]):
+def inside_any(coords, colliders: Tuple[Collider, ...], t=None):
     """Boolean mask of nodes inside ANY collider (phi <= 0) — used by the
     incompressible projection to treat collider interiors as solid
     (Neumann) nodes in the pressure solve."""
     inside = None
     for c in colliders:
-        phi, _ = phi_normal(c, coords)
+        phi, _ = phi_normal(c, coords, t)
         m = phi <= 0
         inside = m if inside is None else (inside | m)
     return inside
+
+
+def any_moving(colliders: Tuple[Collider, ...]) -> bool:
+    """Static predicate: does any collider's geometry move?  Callers skip
+    time-threading entirely when False (bit-identical to the pre-kinematic
+    build)."""
+    return any(c.moving for c in colliders)
 
 
 def node_coords(cfg, axis_indices, dtype=jnp.float32):

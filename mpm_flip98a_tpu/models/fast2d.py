@@ -236,7 +236,8 @@ def _axis_bands2d(cfg: MPMConfig, nrows: int, ncols: int, row_index0=None):
 
 
 def _grid_update2d(
-    gridsum, scene: Scene, ext: bool, grid_shape, row_index0, domain=None
+    gridsum, scene: Scene, ext: bool, grid_shape, row_index0, domain=None,
+    t=None,
 ):
     """Grid momentum update on the ROW-LEADING (R, nch, G) fold output;
     returns grid4 (R, gch, G) for g2p.
@@ -334,8 +335,8 @@ def _grid_update2d(
         )[:, None]
         idx1 = jnp.arange(gridsum.shape[-1])[None, :]
         coords = _col.node_coords(cfg, [idx0, idx1])
-        vx, vy = _col.project([vx, vy], coords, scene.colliders)
-        col_solid = _col.inside_any(coords, scene.colliders)
+        vx, vy = _col.project([vx, vy], coords, scene.colliders, t)
+        col_solid = _col.inside_any(coords, scene.colliders, t)
     if cfg.incompressible:
         # Chorin projection on the fast path's (R, G) velocity planes —
         # consumes only grid data the fast path already owns (VERDICT r3
@@ -403,7 +404,7 @@ def _p2g_grid(data, counts, scene: Scene, *, fused, tent, apic, eos="tait"):
 
 def _finish_fused(
     b: FluidBuckets, scene: Scene, expanded, counts, gx0, gx1,
-    domain, grid_reduce, row_index0, grid_shape, grid4=None,
+    domain, grid_reduce, row_index0, grid_shape, grid4=None, t=None,
 ) -> FluidBuckets:
     """Fused tail of the single-fluid substep: fold + grid update + the
     update-mode G2P (FLIP blend / advect / J update in-kernel).
@@ -420,7 +421,9 @@ def _finish_fused(
             gridsum = tk.fold_rows(expanded)
         if grid_reduce is not None:
             gridsum = grid_reduce(gridsum)
-        grid4 = _grid_update2d(gridsum, scene, False, grid_shape, row_index0, domain)
+        grid4 = _grid_update2d(
+            gridsum, scene, False, grid_shape, row_index0, domain, t
+        )
         pre = domain is not None
     else:
         pre = True
@@ -441,14 +444,17 @@ def _finish_fused(
     )
 
 
-def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> FluidBuckets:
+def substep(
+    b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None, t=None
+) -> FluidBuckets:
     """One fast substep; numerics mirror models/stabilized.py substep_grid
     restricted to the fluid feature set.
 
     `domain` (parallel/fast_domain.FastDomainCtx) runs the same physics on
     a slab shard: bucket rows are a LOCAL window of the global grid, the
     folded P2G edge rows ride a halo exchange instead of being cropped,
-    and the wall masks use global row indices."""
+    and the wall masks use global row indices.  `t` (traced scalar,
+    simulation seconds) advects kinematic colliders."""
     cfg = scene.cfg
     assert cfg.dim == 2
     g = kernel_cols(cfg)  # kernel lane / grid-plane column width
@@ -548,6 +554,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
             return _finish_fused(
                 b, scene, expanded, counts, gx0, gx1,
                 domain, grid_reduce, row_index0, grid_shape, grid4=grid4,
+                t=t,
             )
         pass  # fused P2G + generic G2P tail (A/B probe)
 
@@ -714,7 +721,9 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
                 raw=True,
             )
         gridsum = domain.halo_sync(raw_halo)
-        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0, domain)
+        grid4 = _grid_update2d(
+            gridsum, scene, ext, grid_shape, row_index0, domain, t
+        )
     elif pdata is not None and use_fu:
         grid4 = _p2g_grid(
             pdata, counts, scene, fused=False, tent=tent, apic=apic
@@ -729,7 +738,7 @@ def substep(b: FluidBuckets, scene: Scene, grid_reduce=None, domain=None) -> Flu
             # Multi-chip particle DP: merge per-chip partial grids over ICI
             # (parallel/fast_replicated.py passes a psum here).
             gridsum = grid_reduce(gridsum)
-        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0)
+        grid4 = _grid_update2d(gridsum, scene, ext, grid_shape, row_index0, t=t)
 
     # ---- G2P ----------------------------------------------------------
     pdata2 = jnp.stack([gx0, gx1, b.mask], axis=1)   # (R, 3, K)
@@ -844,22 +853,34 @@ def _needs_rebucket(b: FluidBuckets, cfg: MPMConfig, row0=0) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("scene", "spec", "n_substeps"))
 def run(
-    b: FluidBuckets, scene: Scene, spec: FastSpec, n_substeps: int
+    b: FluidBuckets, scene: Scene, spec: FastSpec, n_substeps: int, t0=None
 ) -> FluidBuckets:
     """Advance n_substeps on-device with adaptive rebucketing.
 
     Rebucketing is a global sort + scatter pass (~100 ms at 1M particles on
     v5e) while a substep is ~10 ms, so it runs only when the drift check
     says the kernel margin is at risk — every few hundred substeps at
-    CFL-respecting dt."""
+    CFL-respecting dt.
 
-    def body(_, st):
+    `t0` (traced scalar, simulation seconds at entry) drives kinematic
+    colliders; substep i sees t = t0 + i dt.  None, or a scene with no
+    moving collider, keeps the loop body time-free."""
+    from mpm_flip98a_tpu.models import colliders as _col
+
+    moving = (
+        t0 is not None
+        and scene.colliders
+        and _col.any_moving(scene.colliders)
+    )
+
+    def body(i, st):
         st = jax.lax.cond(
             _needs_rebucket(st, scene.cfg),
             lambda s: rebucket(s, scene.cfg, spec),
             lambda s: s,
             st,
         )
-        return substep(st, scene)
+        t = jnp.asarray(t0) + i * scene.cfg.dt if moving else None
+        return substep(st, scene, t=t)
 
     return jax.lax.fori_loop(0, n_substeps, body, b)

@@ -280,7 +280,7 @@ def _polar3d_rows(F, iters: int = 12):
 
 def _grid_update(
     gs: jax.Array, scene: Scene, ext: bool, row_index0=None, row_index1=None,
-    domain=None,
+    domain=None, t=None,
 ) -> jax.Array:
     """Grid momentum update on the fold's (G0, G1, nch, G2) layout —
     transpose-free (fold_rows0 already emits the G2P grid layout; the
@@ -377,10 +377,10 @@ def _grid_update(
             ],
         )
         comps = _col.project(
-            [v_new[:, :, a] for a in range(3)], coords, scene.colliders
+            [v_new[:, :, a] for a in range(3)], coords, scene.colliders, t
         )
         v_new = jnp.stack(comps, axis=2)
-        col_solid = _col.inside_any(coords, scene.colliders)
+        col_solid = _col.inside_any(coords, scene.colliders, t)
     if cfg.incompressible:
         # Chorin projection on the (G0, G1, G2) velocity planes between
         # grid update and G2P (VERDICT r3 item 4); sharded slabs/pencils
@@ -490,7 +490,7 @@ def _finish_substep(
 
 
 def substep(
-    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, domain=None
+    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, domain=None, t=None
 ) -> FluidBuckets3D:
     cfg = scene.cfg
     assert cfg.dim == 3
@@ -757,7 +757,7 @@ def substep(
         )
         gs = domain.halo_sync(raw_halo)
         ri1 = row_index1 if row_index1 is not None else jnp.arange(r1 + 4) - 1
-        grid_ch = _grid_update(gs, scene, ext, row_index0, ri1, domain)
+        grid_ch = _grid_update(gs, scene, ext, row_index0, ri1, domain, t)
         pre0 = pre1 = True
     elif scene.mass_floor > 0.0 and not ext_grid and __import__("os").environ.get(
         "MPM_P2G_GRID", "1"
@@ -782,7 +782,7 @@ def substep(
             halo1=halo1,
         )
         gs = tk3.fold_rows0(expanded)
-        grid_ch = _grid_update(gs, scene, ext, row_index0, row_index1)
+        grid_ch = _grid_update(gs, scene, ext, row_index0, row_index1, t=t)
         pre0 = pre1 = False
 
     # ---- G2P ------------------------------------------------------------
@@ -926,15 +926,24 @@ def _needs_rebucket(
 
 @partial(jax.jit, static_argnames=("scene", "spec", "n_substeps"))
 def run(
-    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, n_substeps: int
+    b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, n_substeps: int, t0=None
 ) -> FluidBuckets3D:
-    def body(_, st):
+    from mpm_flip98a_tpu.models import colliders as _col
+
+    moving = (
+        t0 is not None
+        and scene.colliders
+        and _col.any_moving(scene.colliders)
+    )
+
+    def body(i, st):
         st = jax.lax.cond(
             _needs_rebucket(st, scene.cfg, spec),
             lambda s: rebucket(s, scene.cfg, spec),
             lambda s: s,
             st,
         )
-        return substep(st, scene, spec)
+        t = jnp.asarray(t0) + i * scene.cfg.dt if moving else None
+        return substep(st, scene, spec, t=t)
 
     return jax.lax.fori_loop(0, n_substeps, body, b)

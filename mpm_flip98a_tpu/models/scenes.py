@@ -205,6 +205,34 @@ def dam_break_obstacle_2d(
     return p, _dc.replace(scene, colliders=(sphere,))
 
 
+def plow_2d(
+    cfg: Optional[MPMConfig] = None,
+    physics: Physics = Physics(),
+    dtype=np.float64,
+    speed_frac: float = 0.25,
+    sticky: bool = True,
+) -> Tuple[Particles, Scene]:
+    """Kinematic-collider demo (models/colliders.py): a rigid cylinder
+    sweeps horizontally through the settling pool at constant velocity
+    (center_velocity), plowing material ahead of it — the moving-obstacle
+    BC the reference's static box walls cannot express.  speed_frac is
+    the plow speed as a fraction of domain_length per second."""
+    import dataclasses as _dc
+
+    p, scene = dam_break_2d(cfg, physics=physics, dtype=dtype)
+    from mpm_flip98a_tpu.models.colliders import Collider
+
+    l = scene.cfg.domain_length
+    plow = Collider(
+        kind="sphere",
+        center=(0.80 * l, 0.10 * l),
+        radius=0.08 * l,
+        sticky=sticky,
+        center_velocity=(-speed_frac * l, 0.0),
+    )
+    return p, _dc.replace(scene, colliders=(plow,))
+
+
 def sand_column_2d(
     cfg: Optional[MPMConfig] = None,
     physics: Physics = Physics(),

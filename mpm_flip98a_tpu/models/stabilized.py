@@ -364,6 +364,7 @@ def substep_grid(
     scene: Scene,
     grid_reduce: Callable = None,
     ctx: GridContext = None,
+    t=None,
 ) -> Tuple[Particles, Grid]:
     """One substep; returns the new particle state and the post-update grid
     (for diagnostics/rendering — fori_loop callers use `substep`).
@@ -372,7 +373,8 @@ def substep_grid(
     consumed — identity single-chip, `psum` for replicated particle DP
     (parallel/replicated.py), halo-reduce+gather for slab decomposition
     (parallel/domain.py).  `ctx` describes the grid buffers (global vs
-    slab-local)."""
+    slab-local).  `t` (traced scalar, simulation seconds) advects
+    kinematic colliders; None = all colliders static."""
     if grid_reduce is None:
         grid_reduce = lambda t: t
     cfg = scene.cfg
@@ -512,13 +514,13 @@ def substep_grid(
         ]
         coords = _col.node_coords(cfg, shaped, dt_)
         comps = _col.project(
-            [v_new[..., a] for a in range(d)], coords, scene.colliders
+            [v_new[..., a] for a in range(d)], coords, scene.colliders, t
         )
         v_new = jnp.stack(comps, axis=-1)
         # The pressure solve below treats collider interiors as solid
         # (Neumann), keeping their BC velocities pinned while their
         # motion sources the RHS divergence at adjacent fluid nodes.
-        col_solid = _col.inside_any(coords, scene.colliders)
+        col_solid = _col.inside_any(coords, scene.colliders, t)
 
     if cfg.incompressible:
         # EXTENSION: nodal Chorin projection (models/projection.py) —
@@ -629,9 +631,13 @@ def substep_grid(
 
 
 def substep(
-    p: Particles, scene: Scene, grid_reduce: Callable = None, ctx: GridContext = None
+    p: Particles,
+    scene: Scene,
+    grid_reduce: Callable = None,
+    ctx: GridContext = None,
+    t=None,
 ) -> Particles:
-    return substep_grid(p, scene, grid_reduce, ctx)[0]
+    return substep_grid(p, scene, grid_reduce, ctx, t)[0]
 
 
 def make_substep(scene: Scene) -> Callable[[Particles], Particles]:
@@ -643,7 +649,26 @@ def make_substep(scene: Scene) -> Callable[[Particles], Particles]:
 
 
 @partial(jax.jit, static_argnames=("scene", "n_substeps"))
-def run(p: Particles, scene: Scene, n_substeps: int) -> Particles:
+def run(p: Particles, scene: Scene, n_substeps: int, t0=None) -> Particles:
     """Batch substeps on-device (exec.py:21-26 pattern: 10k substeps/frame
-    per host round-trip)."""
-    return jax.lax.fori_loop(0, n_substeps, lambda _, s: substep(s, scene), p)
+    per host round-trip).  `t0` (traced scalar, simulation seconds at
+    entry — the driver's total_time) drives kinematic colliders; substep
+    i sees t = t0 + i dt.  None (or no moving collider) keeps the body
+    time-free."""
+    if t0 is None or not _col_moving(scene):
+        return jax.lax.fori_loop(
+            0, n_substeps, lambda _, s: substep(s, scene), p
+        )
+    dt = scene.cfg.dt
+    return jax.lax.fori_loop(
+        0,
+        n_substeps,
+        lambda i, s: substep(s, scene, t=jnp.asarray(t0) + i * dt),
+        p,
+    )
+
+
+def _col_moving(scene: Scene) -> bool:
+    from mpm_flip98a_tpu.models import colliders as _col
+
+    return bool(scene.colliders) and _col.any_moving(scene.colliders)

@@ -48,6 +48,7 @@ from mpm_flip98a_tpu.models.stabilized import (
     PAD,
     GridContext,
     Scene,
+    _col_moving,
     substep,
 )
 from mpm_flip98a_tpu.state import Particles
@@ -353,7 +354,7 @@ def make_run(scene: Scene, spec: DomainSpec, mesh: Mesh, axis: str = "x"):
     cell_shape = (L + 2 * H,) + (cfg.num_cells,) * (d - 1)
     sync = make_halo_sync(axis, n, L)
 
-    def local(state: DomainState) -> DomainState:
+    def local(state: DomainState, t) -> DomainState:
         s = jax.lax.axis_index(axis)
         shift = jnp.zeros((d,), jnp.int32).at[0].set(s * L - H)
         ctx = GridContext(
@@ -370,20 +371,28 @@ def make_run(scene: Scene, spec: DomainSpec, mesh: Mesh, axis: str = "x"):
         )
 
         def body(_, st: DomainState) -> DomainState:
-            pnew = substep(st.particles, scene, grid_reduce=sync, ctx=ctx)
+            pnew = substep(st.particles, scene, grid_reduce=sync, ctx=ctx, t=t)
             pnew, dropped = migrate(pnew, st.dropped, scene, spec, axis)
             return DomainState(particles=pnew, dropped=dropped)
 
         return body(0, state)
 
+    # Kinematic colliders: t rides in replicated (P()); the collider BC is
+    # pointwise so every shard sees the same scalar.
+    moving = _col_moving(scene)
     sharded = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis)
+        local, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis)
     )
 
     @partial(jax.jit, static_argnames=("n_substeps",))
-    def run(state: DomainState, n_substeps: int) -> DomainState:
-        def outer(_, st):
-            return sharded(st)
+    def run(state: DomainState, n_substeps: int, t0=None) -> DomainState:
+        def outer(i, st):
+            t = (
+                jnp.asarray(t0, jnp.float32) + i * cfg.dt
+                if (moving and t0 is not None)
+                else jnp.float32(0.0)
+            )
+            return sharded(st, t)
 
         return jax.lax.fori_loop(0, n_substeps, outer, state)
 

@@ -213,7 +213,7 @@ def make_run(scene: Scene, spec: FastDomainSpec, mesh: Mesh, axis: str = "x"):
         **{f: P(axis) for f in FluidBuckets.__dataclass_fields__}
     )
 
-    def local(bl: FluidBuckets) -> FluidBuckets:
+    def local(bl: FluidBuckets, t) -> FluidBuckets:
         s = jax.lax.axis_index(axis)
         # The rebucket decision must be uniform across shards (migration is
         # a collective): any shard near the margin triggers everyone.
@@ -226,14 +226,28 @@ def make_run(scene: Scene, spec: FastDomainSpec, mesh: Mesh, axis: str = "x"):
             lambda st: st,
             bl,
         )
-        return fast2d.substep(bl, scene, domain=ctx)
+        return fast2d.substep(bl, scene, domain=ctx, t=t)
 
+    # Kinematic colliders: t rides in replicated (P()) — the collider BC
+    # is pointwise, every shard sees the same scalar.
+    from mpm_flip98a_tpu.models import colliders as _col
+
+    moving = bool(scene.colliders) and _col.any_moving(scene.colliders)
     sharded = jax.shard_map(
-        local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec, check_vma=False
+        local, mesh=mesh, in_specs=(in_spec, P()), out_specs=in_spec,
+        check_vma=False,
     )
 
     @partial(jax.jit, static_argnames=("n_substeps",))
-    def run(b: FluidBuckets, n_substeps: int) -> FluidBuckets:
-        return jax.lax.fori_loop(0, n_substeps, lambda _, st: sharded(st), b)
+    def run(b: FluidBuckets, n_substeps: int, t0=None) -> FluidBuckets:
+        def body(i, st):
+            t = (
+                jnp.asarray(t0, jnp.float32) + i * cfg.dt
+                if (moving and t0 is not None)
+                else jnp.float32(0.0)
+            )
+            return sharded(st, t)
+
+        return jax.lax.fori_loop(0, n_substeps, body, b)
 
     return run

@@ -308,7 +308,7 @@ def make_run(
         **{f: pspec for f in FluidBuckets3D.__dataclass_fields__}
     )
 
-    def local(bl: FluidBuckets3D) -> FluidBuckets3D:
+    def local(bl: FluidBuckets3D, t) -> FluidBuckets3D:
         s0 = jax.lax.axis_index(axis)
         row1 = jax.lax.axis_index(axis1) * l1 if two_axis else 0
         need = fast3d._needs_rebucket(
@@ -323,14 +323,28 @@ def make_run(
             lambda st: st,
             bl,
         )
-        return fast3d.substep(bl, scene, lspec, domain=ctx)
+        return fast3d.substep(bl, scene, lspec, domain=ctx, t=t)
 
+    # Kinematic colliders: t rides in replicated (P()) — pointwise BC,
+    # every shard sees the same scalar.
+    from mpm_flip98a_tpu.models import colliders as _col
+
+    moving = bool(scene.colliders) and _col.any_moving(scene.colliders)
     sharded = jax.shard_map(
-        local, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec, check_vma=False
+        local, mesh=mesh, in_specs=(in_spec, P()), out_specs=in_spec,
+        check_vma=False,
     )
 
     @partial(jax.jit, static_argnames=("n_substeps",))
-    def run(b: FluidBuckets3D, n_substeps: int) -> FluidBuckets3D:
-        return jax.lax.fori_loop(0, n_substeps, lambda _, st: sharded(st), b)
+    def run(b: FluidBuckets3D, n_substeps: int, t0=None) -> FluidBuckets3D:
+        def body(i, st):
+            t = (
+                jnp.asarray(t0, jnp.float32) + i * cfg.dt
+                if (moving and t0 is not None)
+                else jnp.float32(0.0)
+            )
+            return sharded(st, t)
+
+        return jax.lax.fori_loop(0, n_substeps, body, b)
 
     return run

@@ -29,6 +29,8 @@ run "3D full bench (8M/256^3)" env BENCH_3D=1 "$PY" bench.py
 run "3D full bench (KC A/B)" env BENCH_3D=1 MPM_KC3D=1024 "$PY" bench.py
 run "3D stage profile" \
     env PYTHONPATH=.:/root/.axon_site BENCH_3D_SMALL=1 "$PY" scripts/profile3d_loop.py
+run "bf16 VPU packing microbench (ROADMAP lever 10 gate)" \
+    env PYTHONPATH=.:/root/.axon_site "$PY" scripts/micro_bf16_vpu.py
 echo "---- end-to-end reference workload (3 s / 3M substeps / 300 frames)" | tee -a "$LOG"
 timeout 2400 "$PY" -m mpm_flip98a_tpu --scenario dam2d --path fast \
     --frames 300 --substeps 10000 --out /tmp/endtoend_r4 --no-gif \

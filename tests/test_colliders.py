@@ -305,6 +305,166 @@ def test_collider_incompressible_fast_matches_general():
     )
 
 
+def test_moving_halfspace_algebra():
+    # Kinematic halfspace floor rising at +0.5 m/s: at t the surface sits
+    # at y = 0.5 t; a node below it is inside; sticky pins the node to the
+    # surface velocity INCLUDING the translation velocity.
+    floor = col.Collider(
+        kind="halfspace", center=(0.0, 0.0), normal=(0.0, 1.0),
+        sticky=True, center_velocity=(0.0, 0.5),
+    )
+    coords = [jnp.array([0.1]), jnp.array([0.15])]
+    # t = 0: surface at y=0, node at 0.15 is outside -> untouched.
+    vx, vy = col.project(
+        [jnp.array([0.3]), jnp.array([-0.7])], coords, (floor,), t=0.0
+    )
+    np.testing.assert_allclose([float(vx[0]), float(vy[0])], [0.3, -0.7])
+    # t = 0.4: surface at y=0.2, node inside -> pinned to (0, 0.5).
+    vx, vy = col.project(
+        [jnp.array([0.3]), jnp.array([-0.7])], coords, (floor,), t=0.4
+    )
+    np.testing.assert_allclose(
+        [float(vx[0]), float(vy[0])], [0.0, 0.5], atol=1e-7
+    )
+    # t=None keeps the geometry static (legacy callers).
+    vx, vy = col.project(
+        [jnp.array([0.3]), jnp.array([-0.7])], coords, (floor,)
+    )
+    np.testing.assert_allclose([float(vx[0]), float(vy[0])], [0.3, -0.7])
+    # Slip moving sphere: approach measured RELATIVE to the translation.
+    s = col.Collider(
+        kind="sphere", center=(1.0, 1.0), radius=0.5,
+        center_velocity=(2.0, 0.0),
+    )
+    # t = 0.25: center at (1.5, 1), node (1.9, 1) inside, n = (1, 0).
+    c2 = [jnp.array([1.9]), jnp.array([1.0])]
+    # Node at rest: vrel = (-2, 0) approaching -> normal removed,
+    # restored +vsurf -> carried at (2, 0)... slip keeps tangential only:
+    # vrel' = (0,0) -> v = (2, 0).
+    vx, vy = col.project(
+        [jnp.array([0.0]), jnp.array([0.0])], c2, (s,), t=0.25
+    )
+    np.testing.assert_allclose(
+        [float(vx[0]), float(vy[0])], [2.0, 0.0], atol=1e-6
+    )
+    # Node already fleeing faster than the sphere: untouched.
+    vx, vy = col.project(
+        [jnp.array([3.0]), jnp.array([0.1])], c2, (s,), t=0.25
+    )
+    np.testing.assert_allclose(
+        [float(vx[0]), float(vy[0])], [3.0, 0.1], atol=1e-6
+    )
+
+
+def _plow_scene(cfg, speed=2.0, start=0.50, sticky=True):
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    l = cfg.domain_length
+    plow = col.Collider(
+        kind="sphere", center=(start * l, 0.10 * l), radius=0.10 * l,
+        sticky=sticky, center_velocity=(-speed * l, 0.0),
+    )
+    return p, dataclasses.replace(scene, colliders=(plow,))
+
+
+def test_kinematic_threading_exact():
+    # The t0 + i dt indexing in run() must reproduce a manual substep
+    # loop (general path; atol 1e-7 — jit fori_loop vs eager differ by
+    # ~1 ulp fusion noise), and the fast path must agree with the
+    # general path at a traced t where the moved collider overlaps fluid.
+    # The spinner term makes the BC velocity field LINEAR in the center
+    # position, so a mis-indexed t (t0-only, off-by-one, reset) shows up
+    # as an O(omega * cvel * n dt) velocity error, far above tolerance.
+    p, scene = _plow_scene(CFG)
+    spin_plow = dataclasses.replace(scene.colliders[0], angular=(200.0,))
+    scene = dataclasses.replace(scene, colliders=(spin_plow,))
+    t0 = 0.123
+    out_run = run_ref(p, scene, 30, t0)
+    q = p
+    for i in range(30):
+        q = substep_ref(q, scene, t=t0 + i * CFG.dt)
+    np.testing.assert_allclose(
+        np.asarray(out_run.x), np.asarray(q.x), atol=1e-7
+    )
+    # v atol 1e-4: jit-vs-eager ulp noise reaches ~4e-6 on the ~8 m/s
+    # spinner-adjacent nodes; a mis-indexed t would err at ~0.05-0.1.
+    np.testing.assert_allclose(
+        np.asarray(out_run.v), np.asarray(q.v), atol=1e-4
+    )
+    # At t = 0.19 the plow center sits at (0.50 - 2*0.19) l = 0.12 l —
+    # inside the dam column; one substep, fast vs general, exact.
+    t_hit = 0.19
+    spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, scene.cfg, spec)
+    b1 = fast2d.substep(b, scene, t=jnp.float32(t_hit))
+    p1 = substep_ref(p, scene, t=t_hit)
+    x_r = np.asarray(p1.x)
+    np.testing.assert_allclose(
+        _sorted_xy(fast2d.to_host(b1)),
+        x_r[np.lexsort((x_r[:, 1], x_r[:, 0]))],
+        atol=1e-7,
+    )
+    # And the moved collider actually touched material (the BC fired).
+    assert np.max(np.abs(np.asarray(p1.v) - np.asarray(substep_ref(p, scene).v))) > 1e-6
+
+
+def test_plow_pushes_material():
+    # A sticky cylinder sweeping left into the column must impart
+    # leftward momentum and carry no particle deep inside itself.
+    cfg = dataclasses.replace(CFG, dt=4e-5)
+    p, scene = _plow_scene(cfg, speed=1.0, start=0.45)
+    n_sub = 4000
+    t_end = n_sub * cfg.dt  # 0.16 s: plow center ends at 0.29 l
+    out = run_ref(p, scene, n_sub, 0.0)
+    x = np.asarray(out.x)
+    v = np.asarray(out.v)
+    assert np.isfinite(x).all() and np.isfinite(v).all()
+    c = scene.colliders[0]
+    center_end = np.asarray(c.center) + np.asarray(c.center_velocity) * t_end
+    phi = np.sqrt(((x - center_end) ** 2).sum(-1)) - c.radius
+    # No deep penetration of the MOVED geometry (a static-evaluated BC
+    # would leave a particle-filled hole at center_end).
+    assert phi.min() > -1.5 * cfg.dx
+    # The run-out front cannot be past the plow: the wall moved TOWARD
+    # the incoming front, so nothing leaks right of its trailing edge.
+    assert x[:, 0].max() < center_end[0] + c.radius + 2 * cfg.dx
+    # Static-collider control, same horizon: the moving sticky plow
+    # drives the pool leftward — total x-momentum is measurably lower
+    # than with the identical collider standing still.
+    p2, scene2 = _plow_scene(cfg, speed=0.0, start=0.45)
+    out2 = run_ref(p2, scene2, n_sub, 0.0)
+    v2 = np.asarray(out2.v)
+    assert np.isfinite(v2).all()
+    assert v[:, 0].mean() < v2[:, 0].mean() - 0.03, (
+        v[:, 0].mean(), v2[:, 0].mean()
+    )
+
+
+def test_kinematic_sharded_matches_single():
+    from mpm_flip98a_tpu.parallel import make_mesh
+    from mpm_flip98a_tpu.parallel.fast_domain import (
+        FastDomainSpec,
+        distribute,
+        make_run,
+    )
+
+    p, scene = _plow_scene(CFG, speed=2.0, start=0.28)
+    t0 = 0.03  # plow center at 0.22 l: its edge overlaps the column edge
+    mesh = make_mesh(4)
+    spec = FastDomainSpec.for_particles(scene.cfg, 4, p, headroom=2.0)
+    b = distribute(p, scene.cfg, spec, mesh)
+    out = make_run(scene, spec, mesh)(b, 60, t0)
+    spec1 = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=2.0)
+    ref = fast2d.run(
+        fast2d.from_particles(p, scene.cfg, spec1), scene, spec1, 60, t0
+    )
+    np.testing.assert_allclose(
+        _sorted_xy(fast2d.to_host(out)),
+        _sorted_xy(fast2d.to_host(ref)),
+        atol=1e-5,
+    )
+    assert int(np.asarray(out.overflow).sum()) == 0
+
+
 def test_collider_fast_matches_general_3d():
     from mpm_flip98a_tpu.models import fast3d
 
