@@ -2,10 +2,11 @@
 
 The reference confines material with the padded box faces only
 (cpp_validation/mls-mpm88-explained.cpp:122-128).  Production MPM needs
-obstacles: this module adds static rigid colliders defined by a signed
-distance function — sphere and halfspace — with slip or sticky surfaces
-and an optional constant surface velocity (a conveyor/spinner boundary
-condition; the geometry itself does not move).
+obstacles: this module adds rigid colliders defined by a signed distance
+function — sphere, halfspace, and axis-aligned box — with slip or sticky
+surfaces, constant surface velocity (conveyor) / angular velocity
+(spinner) boundary conditions, and optional kinematic translation of the
+geometry itself (center_velocity; see the Collider docstring).
 
 TPU-first design: collision acts on GRID velocities (the classic MPM
 grid-collision treatment), which is a pure elementwise projection over
@@ -36,9 +37,10 @@ import jax.numpy as jnp
 class Collider:
     """Static rigid collider (hashable, jit-static — lives on Scene).
 
-    kind      : 'sphere' | 'halfspace'
-    center    : sphere center / any point on the halfspace surface [m]
+    kind      : 'sphere' | 'halfspace' | 'box'
+    center    : sphere/box center / any point on the halfspace surface [m]
     radius    : sphere radius [m] (sphere only)
+    half_extents : box half-widths per axis [m] (box only; axis-aligned)
     normal    : halfspace OUTWARD normal (pointing away from the solid;
                 need not be normalized — it is normalized here)
     sticky    : sticky (True) or slip (False) surface
@@ -61,6 +63,7 @@ class Collider:
     kind: str
     center: Tuple[float, ...]
     radius: float = 0.0
+    half_extents: Tuple[float, ...] = ()
     normal: Tuple[float, ...] = ()
     sticky: bool = False
     velocity: Tuple[float, ...] = ()
@@ -68,9 +71,11 @@ class Collider:
     center_velocity: Tuple[float, ...] = ()
 
     def __post_init__(self):
-        assert self.kind in ("sphere", "halfspace"), self.kind
+        assert self.kind in ("sphere", "halfspace", "box"), self.kind
         if self.kind == "halfspace":
             assert len(self.normal) == len(self.center), self
+        if self.kind == "box":
+            assert len(self.half_extents) == len(self.center), self
         if self.velocity:
             assert len(self.velocity) == len(self.center), self
         if self.angular:
@@ -113,6 +118,35 @@ def phi_normal(c: Collider, coords, t=None):
         r_safe = jnp.maximum(r, jnp.asarray(1e-12, dt_))
         n = [x / r_safe for x in diff]
         return r - jnp.asarray(c.radius, dt_), n
+    if c.kind == "box":
+        # Axis-aligned box, exact SDF: q_a = |x_a - c_a| - h_a;
+        # phi = |max(q, 0)| + min(max_a q_a, 0).  Outward normal: outside,
+        # the direction from the closest surface point; inside, the
+        # nearest face's axis (one-hot on argmax q, sign of the offset).
+        diff = [coords[a] - ctr[a] for a in range(d)]
+        q = [
+            jnp.abs(diff[a]) - jnp.asarray(c.half_extents[a], dt_)
+            for a in range(d)
+        ]
+        qp = [jnp.maximum(x, 0.0) for x in q]
+        out_len = jnp.sqrt(sum(x * x for x in qp))
+        qmax = q[0]
+        for a in range(1, d):
+            qmax = jnp.maximum(qmax, q[a])
+        phi = out_len + jnp.minimum(qmax, 0.0)
+        # sign without 0 (nodes on a center plane still need a direction)
+        sgn = [jnp.where(x >= 0, 1.0, -1.0).astype(dt_) for x in diff]
+        safe_out = jnp.maximum(out_len, jnp.asarray(1e-12, dt_))
+        face = [(q[a] >= qmax).astype(dt_) for a in range(d)]
+        face_n = jnp.sqrt(sum(f * f for f in face))  # >= 1 (ties at edges)
+        inside = qmax <= 0
+        n = [
+            jnp.where(
+                inside, sgn[a] * face[a] / face_n, sgn[a] * qp[a] / safe_out
+            )
+            for a in range(d)
+        ]
+        return phi, n
     # halfspace: phi = n . (x - p), constant normal
     import math
 

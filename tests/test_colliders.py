@@ -305,6 +305,79 @@ def test_collider_incompressible_fast_matches_general():
     )
 
 
+def test_box_phi_normal():
+    # 2D axis-aligned box, half-extents (0.3, 0.2) about (1, 1).
+    b = col.Collider(kind="box", center=(1.0, 1.0), half_extents=(0.3, 0.2))
+    # Outside a face / outside a corner / inside near the top face /
+    # dead center (normal defined, nearest face = y since hy < hx).
+    coords = [
+        jnp.array([1.5, 1.6, 1.0, 1.0]),
+        jnp.array([1.0, 1.6, 1.15, 1.0]),
+    ]
+    phi, n = col.phi_normal(b, coords)
+    np.testing.assert_allclose(
+        np.asarray(phi),
+        [0.2, np.sqrt(0.3**2 + 0.4**2), -0.05, -0.2],
+        atol=1e-7,
+    )
+    # Face point: +x normal.
+    np.testing.assert_allclose(
+        [float(n[0][0]), float(n[1][0])], [1.0, 0.0], atol=1e-7
+    )
+    # Corner point: diagonal normal.
+    np.testing.assert_allclose(
+        [float(n[0][1]), float(n[1][1])], [0.6, 0.8], atol=1e-6
+    )
+    # Inside near the top: +y (nearest face).
+    np.testing.assert_allclose(
+        [float(n[0][2]), float(n[1][2])], [0.0, 1.0], atol=1e-7
+    )
+    # Normals stay unit-ish everywhere (slip projection relies on it).
+    mag = np.sqrt(np.asarray(n[0]) ** 2 + np.asarray(n[1]) ** 2)
+    np.testing.assert_allclose(mag, 1.0, atol=1e-6)
+    # 3D corner.
+    b3 = col.Collider(
+        kind="box", center=(0.0, 0.0, 0.0), half_extents=(1.0, 1.0, 1.0)
+    )
+    c3 = [jnp.array([1.3]), jnp.array([1.4]), jnp.array([1.0])]
+    phi3, n3 = col.phi_normal(b3, c3)
+    np.testing.assert_allclose(float(phi3[0]), 0.5, atol=1e-7)
+    np.testing.assert_allclose(
+        [float(x[0]) for x in n3], [0.6, 0.8, 0.0], atol=1e-6
+    )
+
+
+def test_box_step_blocks_flow():
+    # Dam break against a box step standing on the floor: the front is
+    # blocked (slower run-out than unobstructed) and nothing ends up deep
+    # inside the step.
+    cfg = dataclasses.replace(CFG, dt=4e-5)
+    p, scene0 = scenes.dam_break_2d(cfg, dtype=np.float32)
+    l = cfg.domain_length
+    step = col.Collider(
+        kind="box",
+        center=(0.32 * l, 0.075 * l),
+        half_extents=(0.06 * l, 0.075 * l),
+    )
+    scene = dataclasses.replace(scene0, colliders=(step,))
+    n_sub = 8000  # 0.32 s: the (measured ~0.5-1 m/s) front passes the box
+    out = run_ref(p, scene, n_sub)
+    x = np.asarray(out.x)
+    assert np.isfinite(x).all()
+    # Exact box SDF on the final positions.
+    q = np.abs(x - np.asarray(step.center)) - np.asarray(step.half_extents)
+    qp = np.maximum(q, 0.0)
+    phi = np.sqrt((qp**2).sum(-1)) + np.minimum(q.max(-1), 0.0)
+    assert phi.min() > -1.5 * cfg.dx, phi.min()
+    assert (phi < 3 * cfg.dx).any()  # the flow reached the step
+    # Control without the step: much more material makes it past the
+    # step's right edge (the obstructed flow must first overtop it).
+    out0 = run_ref(p, scene0, n_sub)
+    x0 = np.asarray(out0.x)
+    past, past0 = (x[:, 0] > 0.40 * l).mean(), (x0[:, 0] > 0.40 * l).mean()
+    assert past0 > past + 0.02, (past0, past)
+
+
 def test_moving_halfspace_algebra():
     # Kinematic halfspace floor rising at +0.5 m/s: at t the surface sits
     # at y = 0.5 t; a node below it is inside; sticky pins the node to the
