@@ -23,3 +23,20 @@ jax.config.update("jax_platforms", "cpu")
 
 # f64 support: the reference's production dtype is ti.f64 (config.py:17).
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release tracing/executable caches between test modules.
+
+    A full-suite run accumulates hundreds of compiled XLA:CPU programs;
+    at ~35 min in, LLVM segfaulted inside backend_compile_and_load on a
+    program that compiles fine in isolation (observed twice at
+    test_projection.py::test_incompressible_golden_stats, 2026-08-19).
+    Modules rarely share jit cache entries, so the per-module clear
+    costs little and bounds whatever in-process compiler state the
+    crash depends on."""
+    yield
+    jax.clear_caches()

@@ -77,6 +77,8 @@ SCENARIOS = {
     # Kinematic collider: a cylinder sweeping through the pool at
     # constant velocity (center_velocity BC).
     "plow2d": lambda: scenes.plow_2d(),
+    # 3D variant of the rigid-obstacle dam break.
+    "dam3d_obstacle": lambda: scenes.dam_break_obstacle_3d(),
 }
 
 

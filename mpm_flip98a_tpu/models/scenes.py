@@ -388,6 +388,35 @@ def elastic_drop_3d(
     return p, scene
 
 
+def dam_break_obstacle_3d(
+    num_grids: int = 64,
+    particles_per_axis: Tuple[int, int, int] = (24, 24, 48),
+    physics: Physics = Physics(),
+    dtype=np.float32,
+    dt: float = 1e-5,
+    center_frac: Tuple[float, float, float] = (0.55, 0.50, 0.12),
+    radius_frac: float = 0.10,
+    **cfg_kwargs,
+) -> Tuple[Particles, Scene]:
+    """3D dam break around a rigid sphere (collider extension): the
+    collapsing column's run-out splits around an obstacle standing in
+    its path (models/colliders.py)."""
+    import dataclasses as _dc
+
+    p, scene = dam_break_3d(
+        num_grids, particles_per_axis, physics, dtype, dt, **cfg_kwargs
+    )
+    from mpm_flip98a_tpu.models.colliders import Collider
+
+    l = scene.cfg.domain_length
+    sphere = Collider(
+        kind="sphere",
+        center=tuple(c * l for c in center_frac),
+        radius=radius_frac * l,
+    )
+    return p, _dc.replace(scene, colliders=(sphere,))
+
+
 def dam_break_3d(
     num_grids: int = 64,
     particles_per_axis: Tuple[int, int, int] = (24, 24, 48),
