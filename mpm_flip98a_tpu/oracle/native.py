@@ -37,8 +37,11 @@ class _Params(ctypes.Structure):
 
 
 def build(force: bool = False) -> str:
-    if force or not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    # Always invoke make: its timestamp check is a no-op when the .so is
+    # fresh, and source edits rebuild instead of silently loading a stale
+    # binary (ADVICE r3).  `force` kept for API compat.
+    del force
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     return _LIB_PATH
 
 

@@ -6,10 +6,27 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${LOG:-/tmp/measure_all.log}
 PY=${PY:-python}
-echo "==== measure_all $(date -Is) commit $(git rev-parse --short HEAD)" | tee -a "$LOG"
+# Resumability: MEASURE_FROM=N skips the first N legs (e.g. after a
+# mid-sweep outage; leg indices are printed).  MEASURE_GATE=0 disables
+# the upfront liveness gate.
+FROM=${MEASURE_FROM:-0}
+LEG=0
+if [ "${MEASURE_GATE:-1}" = "1" ]; then
+  if ! timeout 150 "$PY" scripts/probe_tpu.py 120 >/dev/null 2>&1; then
+    echo "measure_all: device DEAD (probe timeout) — aborting sweep" | tee -a "$LOG"
+    exit 1
+  fi
+fi
+echo "==== measure_all $(date -Is) commit $(git rev-parse --short HEAD) from=$FROM" | tee -a "$LOG"
 
 run() {
-  echo "---- $1" | tee -a "$LOG"
+  LEG=$((LEG + 1))
+  if [ "$LEG" -le "$FROM" ]; then
+    echo "---- [leg $LEG] $1 (SKIPPED, MEASURE_FROM=$FROM)" | tee -a "$LOG"
+    shift
+    return 0
+  fi
+  echo "---- [leg $LEG] $1" | tee -a "$LOG"
   shift
   timeout 1500 "$@" 2>&1 | tail -12 | tee -a "$LOG"
 }
