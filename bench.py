@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import threading
 import time
 
@@ -306,29 +308,28 @@ def _multichip_subprocess(n_sub: int):
         return {"error": repr(e)}
 
 
-def _device_probe(timeout_s: float = 180.0) -> bool:
-    """Probe the default backend with a trivial op under a thread deadline.
+def _device_gate(timeout_s: float = 180.0) -> bool:
+    """First device op, MAIN thread, under the watchdog.
 
     The remote-tunnel backend can wedge at the device-claim step (seen:
-    a multi-hour infra outage where the first op blocks forever).  The
-    probe thread is left running on timeout (daemon) — killing a client
-    mid-claim is the documented wedge trigger, so we never interrupt it,
-    we just stop waiting."""
-    ok = []
+    a multi-hour infra outage where the first op blocks forever).  This
+    gate deliberately spawns NO helper — neither a probe thread nor a
+    probe subprocess (both measured 2026-08-19 to poison the tunnel for
+    the next client: a process whose only jax use happened on a worker
+    thread SIGABRTs at teardown, and a second client connecting right
+    behind a probe client can hang at claim).  The one process that
+    claims the device is the one that runs the legs; if the claim op
+    wedges, the watchdog emits the partial artifact and hard-exits."""
+    _dog.arm("device", timeout_s)
+    try:
+        import jax.numpy as jnp
 
-    def probe():
-        try:
-            import jax.numpy as jnp
-
-            float(jnp.sum(jnp.ones(8)))
-            ok.append(True)
-        except Exception:
-            pass
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+        ok = float(jnp.sum(jnp.ones(8))) == 8.0
+    except Exception as e:  # noqa: BLE001 - recorded in the artifact
+        _result["detail"].setdefault("errors", {})["device"] = repr(e)
+        ok = False
+    _dog.disarm()
+    return ok
 
 
 def main2d(n_sub: int, small: bool) -> dict:
@@ -396,11 +397,11 @@ def main():
         # the right metric name for A/B tooling.
         _result["metric"] = "particle_grid_transfer_ops_per_sec_per_chip_3d"
 
-    if not _device_probe():
-        _result["detail"].setdefault("errors", {})["device"] = (
-            "device unreachable: first trivial op did not complete within "
-            "180 s (backend tunnel outage; rerun scripts/measure_all.sh "
-            "when the chip is back)"
+    if not _device_gate():
+        _result["detail"].setdefault("errors", {}).setdefault(
+            "device",
+            "device unreachable (backend tunnel outage; rerun "
+            "scripts/measure_all.sh when the chip is back)",
         )
         _emit()
         return

@@ -378,16 +378,28 @@ def _grid_update2d(
     return jnp.stack(gch, axis=1)  # (R, 4 or 7, G)
 
 
-def _p2g_grid(data, counts, scene: Scene, *, fused, tent, apic, eos="tait"):
+def _p2g_grid(
+    data, counts, scene: Scene, *, fused, tent, apic, eos="tait", t=None
+):
     """Single-chip tail: ONE kernel for P2G + fold + grid update
     (tk.p2g_grid rolling scratch) returning the g2p-ready padded grid.
     Sharded / grid-reduced runs can't use it — the halo exchange / psum
-    must see raw folded sums — and it needs the absolute mass floor."""
+    must see raw folded sums — and it needs the absolute mass floor.
+    Rigid SDF colliders run IN-KERNEL (ROADMAP lever 11): static params
+    bake in as kernel constants, kinematic time `t` rides as an SMEM
+    scalar so moving geometry keeps the fused pipeline too."""
     cfg = scene.cfg
     grav = np.asarray(cfg.gravity_acceleration(scene.physics), np.float32)
     wall = "penalty" if cfg.use_penalty_ebc else scene.wall.kind
     beta = float(cfg.penalty_parameter(scene.physics)) if cfg.use_penalty_ebc else 0.0
     dinv = float(4.0 * cfg.inv_dx * cfg.inv_dx)
+    cols = tuple(scene.colliders) if scene.colliders else ()
+    tcol = None
+    if cols and t is not None:
+        from mpm_flip98a_tpu.models import colliders as _col
+
+        if _col.any_moving(cols):
+            tcol = t
     return tk.p2g_grid(
         data, counts, kernel_cols(cfg), float(cfg.dx),
         fused=fused, tent=tent, apic=apic, eos=eos,
@@ -398,7 +410,7 @@ def _p2g_grid(data, counts, scene: Scene, *, fused, tent, apic, eos="tait"):
         dt=float(cfg.dt), gx_=float(grav[0]), gy_=float(grav[1]),
         floor=float(scene.mass_floor),
         lo=int(PAD), hi=cfg.num_grids - 1 - int(PAD),
-        wall=wall, beta=beta,
+        wall=wall, beta=beta, colliders=cols, tcol=tcol,
     )
 
 
@@ -513,13 +525,13 @@ def substep(
     # scratch, tk.p2g_grid) and emits the g2p-ready padded grid.
     # MPM_P2G_GRID=0 re-selects the unfused p2g + fold + XLA-update
     # pipeline for A/B probes.
-    # Grid-side extensions (CSF / incompressible projection / colliders)
-    # run in XLA on the updated planes, so the in-kernel grid update must
-    # stand down.
-    ext_grid = (
-        cfg.incompressible or cfg.surface_tension > 0.0
-        or bool(scene.colliders)
-    )
+    # Grid-side extensions (CSF / incompressible projection) run in XLA
+    # on the updated planes, so the in-kernel grid update must stand
+    # down.  Rigid colliders do NOT stand it down: their pointwise BC
+    # runs IN the rolling-scratch kernel (transfer2d._p2g_grid_kernel,
+    # ROADMAP lever 11) — except when the incompressible projection also
+    # needs the collider solid mask on the XLA planes.
+    ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
     use_fu = (
         domain is None and grid_reduce is None and scene.mass_floor > 0.0
         and not ext_grid
@@ -537,7 +549,7 @@ def substep(
             expanded = None
             grid4 = _p2g_grid(
                 sdata, counts, scene, fused=True, tent=False, apic=apic,
-                eos=eos_name,
+                eos=eos_name, t=t,
             )
         elif domain is not None and not fuse_g2p:
             expanded = None  # sharded: raw rolling-scratch fold below
@@ -726,7 +738,7 @@ def substep(
         )
     elif pdata is not None and use_fu:
         grid4 = _p2g_grid(
-            pdata, counts, scene, fused=False, tent=tent, apic=apic
+            pdata, counts, scene, fused=False, tent=tent, apic=apic, t=t
         )
     else:
         if pdata is None:

@@ -424,6 +424,7 @@ def _finish_substep(
     b: FluidBuckets3D, scene: Scene, spec: FastSpec3D, expanded, counts,
     gxs, domain=None, x0k=None, x0_shift=None, row_index0=None,
     x1k=None, x1_shift=None, row_index1=None, grid_pad=None, raw_halo=None,
+    t=None,
 ) -> FluidBuckets3D:
     """Fused tail of the single-fluid substep: grid update + the
     update-mode G2P (FLIP blend / advect / J update in-kernel).
@@ -451,7 +452,8 @@ def _finish_substep(
             # no particles within 2 cells of the y walls).
             row_index1 = jnp.arange(r1 + 4) - 1
         grid_ch = _grid_update(
-            gs, scene, ext=False, row_index0=row_index0, row_index1=row_index1
+            gs, scene, ext=False, row_index0=row_index0,
+            row_index1=row_index1, domain=domain, t=t,
         )
         pre0 = pre1 = True
     else:
@@ -460,7 +462,8 @@ def _finish_substep(
         else:
             gs = tk3.fold_rows0(expanded)
         grid_ch = _grid_update(
-            gs, scene, ext=False, row_index0=row_index0, row_index1=row_index1
+            gs, scene, ext=False, row_index0=row_index0,
+            row_index1=row_index1, domain=domain, t=t,
         )
         pre0 = domain is not None
         pre1 = x1_shift is not None
@@ -558,10 +561,18 @@ def substep(
     # D^-1 reconstruction below.)
     # Grid-side extensions (CSF / incompressible projection) run in XLA on
     # the updated planes: the in-kernel grid-update paths stand down.
-    ext_grid = (
-        cfg.incompressible or cfg.surface_tension > 0.0
-        or bool(scene.colliders)
-    )
+    # Rigid colliders do NOT: their pointwise BC runs IN the
+    # rolling-scratch kernel (transfer3d._p2g3d_grid_kernel, ROADMAP
+    # lever 11) — unless the incompressible projection also needs the
+    # collider solid mask on the XLA planes.
+    ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
+    col_kernel = tuple(scene.colliders) if scene.colliders else ()
+    tcol = None
+    if col_kernel and t is not None:
+        from mpm_flip98a_tpu.models import colliders as _colm
+
+        if _colm.any_moving(col_kernel):
+            tcol = t
     fused = (
         scene.materials_present == (mat.WEAKLY_COMPRESSIBLE_FLUID,)
         and not ext
@@ -602,6 +613,7 @@ def substep(
                 dt=float(cfg.dt), grav=grav,
                 floor=float(scene.mass_floor),
                 lo=int(PAD), hi=g - 1 - int(PAD), wall=wall, beta=beta,
+                colliders=col_kernel, tcol=tcol,
             )
             return _finish_substep(
                 b, scene, spec, None, counts, gxs, grid_pad=grid_pad,
@@ -619,7 +631,7 @@ def substep(
         )
         return _finish_substep(
             b, scene, spec, None, counts, gxs, domain, x0k, x0_shift,
-            row_index0, x1k, x1_shift, row_index1, raw_halo=raw_halo,
+            row_index0, x1k, x1_shift, row_index1, raw_halo=raw_halo, t=t,
         )
     # Semi-implicit lag correction on the fused nodal averages (see
     # fast2d.substep: advance by the known local rates; div = tr C).
@@ -629,7 +641,9 @@ def substep(
     p_point_out = jnp.zeros_like(b.J)
     tau = [[jnp.zeros_like(b.J) for _ in range(3)] for _ in range(3)]
     for mid in scene.materials_present:
-        t = [[None] * 3 for _ in range(3)]
+        # `tl` (NOT `t`): the simulation-time parameter `t` must survive
+        # this loop — it feeds kinematic colliders in _grid_update below.
+        tl = [[None] * 3 for _ in range(3)]
         if mid == mat.WEAKLY_COMPRESSIBLE_FLUID:
             kb = jnp.float32(scene.params.bulk_modulus)
             mu = jnp.float32(scene.params.dynamic_viscosity)
@@ -650,10 +664,10 @@ def substep(
                 pressure = p_point
             for a in range(3):
                 for c in range(3):
-                    dev = 0.5 * (cmat[a][c] + cmat[c][a]) - (
+                    dev = 0.5 * (cmatl[a][c] + cmat[c][a]) - (
                         div_lag / 3.0 if a == c else 0.0
                     )
-                    t[a][c] = vj * (
+                    tl[a][c] = vj * (
                         (-pressure if a == c else 0.0) + 2.0 * mu * dev
                     )
         elif mid == mat.SAND:
@@ -668,7 +682,7 @@ def substep(
             tm_s = mat.sand_tau_hat(scene.params, b.vol0, fm_s)
             for a in range(3):
                 for c in range(3):
-                    t[a][c] = tm_s[..., a, c]
+                    tl[a][c] = tm_s[..., a, c]
         elif mid == mat.NEO_HOOKEAN:
             # tau = V0 (mu (F F^T - I) + lam log(Jf) I)
             mu_s = jnp.float32(scene.params.mu)
@@ -682,7 +696,7 @@ def substep(
             for a in range(3):
                 for c in range(3):
                     ffr = sum(fmat[3 * a + e] * fmat[3 * c + e] for e in range(3))
-                    t[a][c] = b.vol0 * (
+                    tl[a][c] = b.vol0 * (
                         mu_s * (ffr - (1.0 if a == c else 0.0))
                         + (lj if a == c else 0.0)
                     )
@@ -708,16 +722,16 @@ def substep(
                         (fmat[3 * a + e] - rrot[3 * a + e]) * fmat[3 * c + e]
                         for e in range(3)
                     )
-                    t[a][c] = b.vol0 * (
+                    tl[a][c] = b.vol0 * (
                         2.0 * mu_s * dfr + (lj if a == c else 0.0)
                     )
         if len(scene.materials_present) == 1:
-            tau = t
+            tau = tl
         else:
             sel = b.mat == mid
             for a in range(3):
                 for c in range(3):
-                    tau[a][c] = jnp.where(sel, t[a][c], tau[a][c])
+                    tau[a][c] = jnp.where(sel, tl[a][c], tau[a][c])
 
     fa = -dt * jnp.float32(dinv)
     m = b.mass * b.mask
@@ -774,6 +788,7 @@ def substep(
             fields, counts, r1, g, dx, apic=apic, ext=ext, tent=tent,
             dt=float(cfg.dt), grav=grav, floor=float(scene.mass_floor),
             lo=int(PAD), hi=g - 1 - int(PAD), wall=wall, beta=beta,
+            colliders=col_kernel, tcol=tcol,
         )
         pre0 = pre1 = True
     else:

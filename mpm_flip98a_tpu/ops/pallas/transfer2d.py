@@ -446,14 +446,19 @@ def p2g_fused(
 
 
 def _p2g_grid_kernel(
-    counts_ref, data_ref, out_ref, scratch,
-    *, r: int, g: int, nch: int, kc: int, dx: float, fused: bool,
+    counts_ref, data_ref, *refs,
+    r: int, g: int, nch: int, kc: int, dx: float, fused: bool,
     ext: bool, raw: bool, tent: bool, apic: bool, eos: str, kb: float,
     mu: float,
     gamma: float, fa: float, dt: float, gx_: float, gy_: float, floor: float, lo: int,
-    hi: int, wall: str, beta: float,
+    hi: int, wall: str, beta: float, colliders: tuple = (), kin: bool = False,
 ):
     """Rolling-scratch P2G + fold [+ grid update] — see p2g_grid."""
+    if kin:
+        t_ref, out_ref, scratch = refs
+    else:
+        t_ref = None
+        out_ref, scratch = refs
     jrow = pl.program_id(0)
     q = pl.program_id(1)
 
@@ -511,6 +516,31 @@ def _p2g_grid_kernel(
                 vx = jnp.where(jhigh, jnp.minimum(vx, 0.0), vx)
                 vy = jnp.where(low1, jnp.maximum(vy, 0.0), vy)
                 vy = jnp.where(high1, jnp.minimum(vy, 0.0), vy)
+        if colliders:
+            # EXTENSION (docs/ROADMAP.md lever 11): rigid SDF collider BC
+            # in-kernel, so collider scenes keep the fused rolling-scratch
+            # pipeline instead of standing the in-kernel grid update down.
+            # models/colliders.project is pure elementwise jnp, so it
+            # traces into Mosaic directly on the (G,) target-row planes;
+            # same placement (after the wall/penalty BC) and same float
+            # arithmetic as the XLA path (fast2d._grid_update2d), with the
+            # scalar row coordinate broadcasting against the lane columns.
+            # `lo` == PAD for every caller, so node x = (idx - lo) * dx
+            # matches colliders.node_coords.  `kin` feeds simulation time
+            # for kinematic geometry via the SMEM scalar operand.
+            from mpm_flip98a_tpu.models import colliders as _col
+
+            tcol = t_ref[0] if kin else None
+            coords = [
+                (t0r.astype(jnp.float32) - lo) * dx,
+                (col.astype(jnp.float32) - lo) * dx,
+            ]
+            vx, vy = _col.project([vx, vy], coords, colliders, tcol)
+            # Pad-row contract: non-interior target rows must emit exact
+            # zeros (g2p prepadded layout), but project() writes vsurf on
+            # every inside node — re-crop.
+            vx = jnp.where(interior, vx, 0.0)
+            vy = jnp.where(interior, vy, 0.0)
         rows = [vx, vy, v0x, v0y]
         if ext:
             v0sum = plane[6]
@@ -553,7 +583,7 @@ def _p2g_grid_kernel(
     static_argnames=(
         "g", "dx", "fused", "raw", "tent", "apic", "eos", "kb", "mu",
         "gamma", "fa", "dt", "gx_", "gy_", "floor", "lo", "hi", "wall",
-        "beta",
+        "beta", "colliders",
     ),
 )
 def p2g_grid(
@@ -579,6 +609,8 @@ def p2g_grid(
     hi: int = 0,
     wall: str = "slip",
     beta: float = 0.0,
+    colliders: tuple = (),
+    tcol: jax.Array | None = None,
 ) -> jax.Array:
     """Single-chip fused P2G + fold + grid update (2D): data -> the
     FINISHED, g2p-ready PADDED grid (R + 4, gch, G), row j = target row
@@ -609,6 +641,20 @@ def p2g_grid(
         ext = nch == P2G_CH_EXT
     gch = nch if raw else (G2P_CH_EXT if ext else G2P_CH)
     kc = _chunk(k)
+    kin = tcol is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, f, kc),
+            lambda i, j: (jnp.minimum(i, r - 1), 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = (counts, data)
+    if kin:
+        # Kinematic colliders: simulation time rides as an SMEM scalar.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs = (counts, data, jnp.reshape(tcol, (1,)).astype(jnp.float32))
     return pl.pallas_call(
         functools.partial(
             _p2g_grid_kernel,
@@ -616,17 +662,10 @@ def p2g_grid(
             raw=raw,
             tent=tent, apic=apic, eos=eos, kb=kb, mu=mu, gamma=gamma, fa=fa, dt=dt,
             gx_=gx_, gy_=gy_, floor=floor, lo=lo, hi=hi, wall=wall,
-            beta=beta,
+            beta=beta, colliders=colliders, kin=kin,
         ),
         grid=(r + NT, k // kc),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, f, kc),
-                lambda i, j: (jnp.minimum(i, r - 1), 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, gch, g),
             lambda i, j: (jnp.maximum(i - 1, 0), 0, 0),
@@ -638,7 +677,7 @@ def p2g_grid(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(counts, data)
+    )(*inputs)
 
 
 def fold_rows(expanded: jax.Array) -> jax.Array:

@@ -450,11 +450,18 @@ def _p2g3d_grid_kernel(
     hi: int,
     wall: str,
     beta: float,
+    colliders: tuple = (),
+    kin: bool = False,
 ):
     """Rolling-scratch P2G + fold [+ grid update] — see p2g3d_grid."""
     out_ref = refs[-2]
     scratch = refs[-1]
-    in_refs = refs[:-2]
+    if kin:
+        t_ref = refs[-3]
+        in_refs = refs[:-3]
+    else:
+        t_ref = None
+        in_refs = refs[:-2]
     tz = pl.program_id(0)
     j = pl.program_id(1)
     gq = pl.program_id(2)
@@ -538,6 +545,29 @@ def _p2g3d_grid_kernel(
                 v[1] = jnp.where(a1h, jnp.minimum(v[1], 0.0), v[1])
                 v[2] = jnp.where(a2l, jnp.maximum(v[2], 0.0), v[2])
                 v[2] = jnp.where(a2h, jnp.minimum(v[2], 0.0), v[2])
+        if colliders:
+            # EXTENSION (docs/ROADMAP.md lever 11): rigid SDF collider BC
+            # in-kernel on the (p1, g2t) target planes, same pointwise
+            # projection and placement as the XLA path (fast3d._grid_update
+            # after the wall BC) — collider scenes keep the fully fused
+            # pipeline.  Coordinates: axis 0 = scalar target row, axis 1 =
+            # plane row - 1 ((p1, 1)), axis 2 = tz-tile columns ((1, g2t));
+            # `lo` == PAD so node x = (idx - lo) * dx matches
+            # colliders.node_coords.  Axis-1 pad rows (node index outside
+            # [0, r1)) must stay exact zeros — re-crop after projection.
+            from mpm_flip98a_tpu.models import colliders as _col
+
+            tcol = t_ref[0] if kin else None
+            coords = [
+                (t0r.astype(jnp.float32) - lo) * dx,
+                (idx1.astype(jnp.float32) - lo) * dx,
+                (idx2.astype(jnp.float32) - lo) * dx,
+            ]
+            vp = _col.project(v, coords, colliders, tcol)
+            keep = jnp.logical_and(
+                interior, jnp.logical_and(idx1 >= 0, idx1 < r1)
+            )
+            v = [jnp.where(keep, vp[a], v[a]) for a in range(3)]
         for c in range(3):
             out_ref[0, :, c, :] = v[c]
             out_ref[0, :, 3 + c, :] = v0[c]
@@ -586,7 +616,7 @@ def _p2g3d_grid_kernel(
     static_argnames=(
         "g1", "g2", "dx", "apic", "stress", "kb", "mu", "gamma", "fa",
         "tent", "ext", "raw", "dt", "grav", "floor", "lo", "hi", "wall",
-        "beta",
+        "beta", "colliders",
     ),
 )
 def p2g3d_grid(
@@ -612,6 +642,8 @@ def p2g3d_grid(
     hi: int = 0,
     wall: str = "slip",
     beta: float = 0.0,
+    colliders: tuple = (),
+    tcol: jax.Array | None = None,
 ) -> jax.Array:
     """Single-chip fused P2G + fold + grid update (non-ext configs):
     fields -> the FINISHED, G2P-ready padded velocity grid
@@ -665,6 +697,15 @@ def p2g3d_grid(
         )
         for _ in range(n_in)
     ]
+    kin = tcol is not None
+    inputs = (counts, *fields)
+    if kin:
+        # Kinematic colliders: simulation time rides as an SMEM scalar
+        # appended AFTER the field refs (the kernel unpacks refs[-3]).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs = (
+            counts, *fields, jnp.reshape(tcol, (1,)).astype(jnp.float32)
+        )
     return pl.pallas_call(
         functools.partial(
             _p2g3d_grid_kernel,
@@ -672,7 +713,7 @@ def p2g3d_grid(
             stress=stress, kb=kb, mu=mu, gamma=gamma, fa=fa, tent=tent,
             ext=ext, raw=raw,
             dt=dt, grav=grav, floor=floor, lo=lo, hi=hi, wall=wall,
-            beta=beta,
+            beta=beta, colliders=colliders, kin=kin,
         ),
         grid=(n_tz, r0 + NT, r1 // b1),
         in_specs=in_specs,
@@ -689,7 +730,7 @@ def p2g3d_grid(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(counts, *fields)
+    )(*inputs)
 
 
 def fold_rows0(expanded: jax.Array) -> jax.Array:

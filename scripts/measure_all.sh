@@ -29,6 +29,9 @@ run() {
   echo "---- [leg $LEG] $1" | tee -a "$LOG"
   shift
   timeout 1500 "$@" 2>&1 | tail -12 | tee -a "$LOG"
+  # Tunnel hygiene (see scripts/probe_tpu.py docstring): give the
+  # previous client's teardown a moment before the next one connects.
+  sleep 5
 }
 
 run "validation protocol (PoU, taps, 500-substep stability)" \
@@ -48,6 +51,8 @@ run "3D stage profile" \
     env PYTHONPATH=.:/root/.axon_site BENCH_3D_SMALL=1 "$PY" scripts/profile3d_loop.py
 run "bf16 VPU packing microbench (ROADMAP lever 10 gate)" \
     env PYTHONPATH=.:/root/.axon_site "$PY" scripts/micro_bf16_vpu.py
+run "run-loop structure A/B (bare substep vs production run())" \
+    env PYTHONPATH=.:/root/.axon_site "$PY" scripts/ab_run_cond.py
 echo "---- end-to-end reference workload (3 s / 3M substeps / 300 frames)" | tee -a "$LOG"
 timeout 2400 "$PY" -m mpm_flip98a_tpu --scenario dam2d --path fast \
     --frames 300 --substeps 10000 --out /tmp/endtoend_r4 --no-gif \

@@ -15,19 +15,18 @@ docs/ROADMAP.md and stop.
 Also times a pure multiply-add chain (the FMA-able half of the mix)
 since packing behaviour can differ between min/max compares and FMAs.
 
-Outage-tolerant (the axon tunnel wedges rather than erroring): every
-device-touching phase runs on a daemon probe thread bounded by a
-deadline, same pattern as scripts/probe_tpu.py / bench.py.
+Device ops run on the MAIN thread (worker-thread-only jax use aborts at
+teardown and wedges the tunnel for the next client — probe_tpu.py
+docstring); bound a suspected wedge with an outer `timeout` and gate
+with scripts/probe_tpu.py, as measure_all.sh does.
 
-Usage: python scripts/micro_bf16_vpu.py [deadline_s=600]
+Usage: python scripts/micro_bf16_vpu.py
 Prints one JSON line: {"wmix_f32": ops/s, "wmix_bf16": ..., "ratio_wmix": ...,
 "fma_f32": ..., "fma_bf16": ..., "ratio_fma": ...}
 """
 
 import json
 import os
-import sys
-import threading
 import time
 
 SUB, LANE = 256, 512   # block: 8 sublane tiles x 4 lane tiles (f32)
@@ -113,20 +112,17 @@ def _measure(results: dict):
 
 
 def main() -> int:
-    deadline = float(sys.argv[1]) if len(sys.argv) > 1 else 600.0
+    # MAIN-THREAD device ops, deliberately: a process whose only jax use
+    # happened on a daemon worker thread dies with SIGABRT at interpreter
+    # teardown and poisons the tunnel for the NEXT client (measured
+    # 2026-08-19, scripts/probe_tpu.py docstring).  Wedge-bounding is the
+    # caller's job (measure_all.sh wraps every leg in `timeout`); gate
+    # with scripts/probe_tpu.py first if the tunnel state is unknown.
     results: dict = {"ok": False}
-
-    def probe():
-        try:
-            _measure(results)
-        except Exception as e:  # noqa: BLE001 - recorded in the artifact
-            results["error"] = repr(e)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(deadline)
-    if not results.get("ok") and "error" not in results:
-        results["error"] = f"deadline {deadline}s exceeded (tunnel wedge?)"
+    try:
+        _measure(results)
+    except Exception as e:  # noqa: BLE001 - recorded in the artifact
+        results["error"] = repr(e)
     print(json.dumps(results))
     return 0 if results.get("ok") else 1
 

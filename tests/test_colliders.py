@@ -564,3 +564,39 @@ def test_collider_fast_matches_general_3d():
         x_r[np.lexsort((x_r[:, 2], x_r[:, 1], x_r[:, 0]))],
         atol=1e-5,
     )
+
+
+def test_kinematic_collider_fast_matches_general_3d():
+    # A rising sphere pushes through the settled slab: exercises the
+    # IN-KERNEL kinematic collider path (transfer3d._p2g3d_grid_kernel
+    # with the SMEM time operand) against the general XLA path, which
+    # threads the same t = t0 + i dt through stabilized.run.
+    from mpm_flip98a_tpu.models import fast3d
+
+    p, scene = scenes.slab_3d(
+        num_grids=16, particles_per_axis=(10, 10, 6), dt=2e-5,
+        height_frac=0.35,
+    )
+    l = scene.cfg.domain_length
+    sphere = col.Collider(
+        kind="sphere",
+        center=(0.5 * l, 0.5 * l, -0.10 * l),
+        radius=0.12 * l,
+        center_velocity=(0.0, 0.0, 2.0),
+    )
+    scene = dataclasses.replace(scene, colliders=(sphere,))
+    t0 = 0.01  # start with the sphere already brushing the slab bottom
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    b20 = fast3d.run(b, scene, spec, 20, t0)
+    p20 = run_ref(p, scene, 20, t0)
+    h = fast3d.to_host(b20)
+    x_f = np.stack([h["x0"], h["x1"], h["x2"]], -1)
+    x_r = np.asarray(p20.x)
+    np.testing.assert_allclose(
+        x_f[np.lexsort((x_f[:, 2], x_f[:, 1], x_f[:, 0]))],
+        x_r[np.lexsort((x_r[:, 2], x_r[:, 1], x_r[:, 0]))],
+        atol=1e-5,
+    )
+    # The sphere actually moved into the slab (some particles got kicked).
+    assert np.asarray(p20.v)[:, 2].max() > 0.05
