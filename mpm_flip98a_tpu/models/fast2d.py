@@ -532,10 +532,18 @@ def substep(
     # ROADMAP lever 11) — except when the incompressible projection also
     # needs the collider solid mask on the XLA planes.
     ext_grid = cfg.incompressible or cfg.surface_tension > 0.0
+    # DEFAULT = unfused (MPM_P2G_GRID=0): the only bench-format A/B at
+    # the headline config (1M/513^2, docs/measurements/
+    # r4_measure_20260819_1152.log) measured unfused 2.905e9 (6.195 ms)
+    # vs fused+crop 2.755e9 (6.534 ms) — the fused kernel wins the
+    # STAGE profile (3.521 vs 4.577 ms kernel-sum) but loses in the
+    # harness, i.e. its grid4 layout/glue costs more than the kernel
+    # saves.  MPM_P2G_GRID=1 re-selects the fused rolling-scratch
+    # kernel for A/B probes (VERDICT r4 item 2).
     use_fu = (
         domain is None and grid_reduce is None and scene.mass_floor > 0.0
         and not ext_grid
-        and _os.environ.get("MPM_P2G_GRID", "1") != "0"
+        and _os.environ.get("MPM_P2G_GRID", "0") == "1"
     )
     grid4 = None
     if fused:
@@ -884,6 +892,49 @@ def run(
         and scene.colliders
         and _col.any_moving(scene.colliders)
     )
+
+    if _os.environ.get("MPM_RUN_WHILE", "0") == "1":
+        # A/B structure (VERDICT r4 item 3): the measured bench substep
+        # runs ~0.9 ms/substep over the bare profiled substep, and the
+        # prime suspect is the per-iteration lax.cond carrying the full
+        # bucket state.  This variant hoists the cond out of the hot
+        # body: an inner while_loop advances while the margin check
+        # passes (the check is the loop predicate — same every-substep
+        # semantics, rebucket still happens BEFORE the first unsafe
+        # substep), and rebucket runs only at inner-loop exit.
+        def inner_cond(c):
+            j, s = c
+            return jnp.logical_and(
+                j < n_substeps, ~_needs_rebucket(s, scene.cfg)
+            )
+
+        def inner_body(c):
+            j, s = c
+            t = jnp.asarray(t0) + j * scene.cfg.dt if moving else None
+            return j + 1, substep(s, scene, t=t)
+
+        def outer_cond(c):
+            j, _ = c
+            return j < n_substeps
+
+        def outer_body(c):
+            j, s = c
+            j, s = jax.lax.while_loop(inner_cond, inner_body, (j, s))
+
+            def fix(q):
+                # Rebucket + one substep: guarantees outer-loop progress
+                # even if the margin check somehow still fires after the
+                # rebucket (matches the fori variant, which substeps
+                # unconditionally after its cond).
+                q = rebucket(q, scene.cfg, spec)
+                t = jnp.asarray(t0) + j * scene.cfg.dt if moving else None
+                return substep(q, scene, t=t)
+
+            s = jax.lax.cond(j < n_substeps, fix, lambda q: q, s)
+            j = jnp.minimum(j + 1, n_substeps)
+            return j, s
+
+        return jax.lax.while_loop(outer_cond, outer_body, (0, b))[1]
 
     def body(i, st):
         st = jax.lax.cond(

@@ -664,7 +664,7 @@ def substep(
                 pressure = p_point
             for a in range(3):
                 for c in range(3):
-                    dev = 0.5 * (cmatl[a][c] + cmat[c][a]) - (
+                    dev = 0.5 * (cmat[a][c] + cmat[c][a]) - (
                         div_lag / 3.0 if a == c else 0.0
                     )
                     tl[a][c] = vj * (

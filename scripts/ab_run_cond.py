@@ -10,6 +10,9 @@ the gap is loop structure.  Legs:
   A  bare fori_loop(substep)                  — the profile number
   B  fori_loop(cond(needs, rebucket) ; substep) — the production loop
   C  B with the needs-check alone (cond dropped) — splits check vs cond
+  D  while_loop structure (MPM_RUN_WHILE=1): check as loop predicate,
+     cond hoisted out of the hot body — the candidate fix if B-A is
+     dominated by the cond
 
 Run on a live chip: PYTHONPATH=.:/root/.axon_site python scripts/ab_run_cond.py
 """
@@ -59,15 +62,36 @@ def main():
         def body(i, s):
             # The check's cost without the cond: fold the flag into a
             # field XLA cannot drop (overflow is consumed by the caller).
+            # NB: `overflow + 0 * flag` does NOT work — the algebraic
+            # simplifier folds int x*0 to 0 and DCEs the whole check.
+            # minimum(flag, 0) is also 0 (flag is 0/1) but XLA cannot
+            # prove it, so the check stays live.
             import dataclasses
 
             flag = fast2d._needs_rebucket(s, scene.cfg).astype(jnp.int32)
-            s = dataclasses.replace(s, overflow=s.overflow + 0 * flag)
+            s = dataclasses.replace(
+                s, overflow=s.overflow + jnp.minimum(flag, 0)
+            )
             return fast2d.substep(s, scene)
 
         return jax.lax.fori_loop(0, N_SUB, body, st)
 
-    for name, leg in (("A bare", leg_a), ("B run()", leg_b), ("C check", leg_c)):
+    def leg_d(st, scene, spec):
+        import os
+
+        os.environ["MPM_RUN_WHILE"] = "1"
+        try:
+            return fast2d.run(st, scene, spec, N_SUB)
+        finally:
+            os.environ.pop("MPM_RUN_WHILE", None)
+
+    for name, leg in (
+        ("A bare", leg_a), ("B run()", leg_b), ("C check", leg_c),
+        ("D while", leg_d),
+    ):
+        # run() reads env knobs at trace time and its jit cache does not
+        # key on them — clear between legs so B and D get fresh traces.
+        jax.clear_caches()
         dt = timed(leg, b, scene, spec)
         print(
             f"{name}: {dt*1e3:6.3f} ms/substep -> {n * 18 / dt / 1e9:.3f} e9",

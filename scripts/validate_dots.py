@@ -22,6 +22,12 @@ import sys
 
 import numpy as np
 import jax
+
+if os.environ.get("MPM_VALIDATE_CPU") == "1":
+    # CPU smoke mode (interpret-mode kernels): checks the harness logic
+    # only — it does NOT validate the TPU lowering (see module docstring).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
@@ -143,6 +149,105 @@ def tap_2d():
     return dx_max < 1e-6 and dv_max < 1e-3, (float(dx_max), float(dv_max))
 
 
+def collider_tap_2d():
+    """In-kernel collider epilogue on the REAL TPU (VERDICT r4 item 6):
+    one substep of dam2d_obstacle on the fast path vs the general path —
+    static sphere, then a kinematic (moving-center) collider at t=0.02 s.
+    Single-substep agreement must stay at fp32 roundoff (~1e-6); the
+    collider kernels landed after the last round-4 chip window and
+    interpret-mode green has twice failed to imply TPU green here."""
+    cfg = MPMConfig(
+        dtype="float32", num_grids=65, dt=1e-5,
+        num_particles_x=64, num_particles_y=128,
+        fluid_width=0.105, fluid_height=0.21,
+        flip_blend=0.98, transfer=TransferKind.PIC,
+    )
+    results = []
+    for name, maker, t in (
+        ("static", lambda: scenes.dam_break_obstacle_2d(
+            cfg, dtype=np.float32, center_frac=(0.35, 0.10)), None),
+        ("kinematic", lambda: scenes.plow_2d(
+            cfg, dtype=np.float32), 0.02),
+    ):
+        p, scene = maker()
+        spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+        b = fast2d.from_particles(p, cfg, spec)
+        tj = None if t is None else jnp.float32(t)
+        b1 = fast2d.substep(b, scene, t=tj)
+        p1 = substep_ref(p, scene, t=tj)
+        h = fast2d.to_host(b1)
+        x_f = np.stack([h["x0"], h["x1"]], -1)
+        v_f = np.stack([h["v0"], h["v1"]], -1)
+        of = np.lexsort((x_f[:, 1], x_f[:, 0]))
+        xr = np.asarray(p1.x)
+        vr = np.asarray(p1.v)
+        orr = np.lexsort((xr[:, 1], xr[:, 0]))
+        dx_max = np.abs(x_f[of] - xr[orr]).max()
+        dv_max = np.abs(v_f[of] - vr[orr]).max()
+        print(
+            f"collider tap 2D [{name}]: |dx|max={dx_max:.3e} "
+            f"|dv|max={dv_max:.3e}", flush=True,
+        )
+        results.append(dx_max < 1e-6 and dv_max < 1e-3)
+    return all(results), 0.0
+
+
+def collider_tap_3d():
+    """3D in-kernel collider epilogue (transfer3d._p2g3d_grid_kernel) vs
+    the general path: one substep of dam3d_obstacle."""
+    p, scene = scenes.dam_break_obstacle_3d(
+        num_grids=32, particles_per_axis=(12, 12, 20), dt=2e-5,
+        dtype=np.float32,
+    )
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=2.0)
+    b = fast3d.from_particles(p, scene.cfg, spec)
+    b1 = fast3d.substep(b, scene, spec)
+    p1 = substep_ref(p, scene)
+    h = fast3d.to_host(b1)
+    x_f = np.stack([h["x0"], h["x1"], h["x2"]], -1)
+    of = np.lexsort((x_f[:, 2], x_f[:, 1], x_f[:, 0]))
+    xr = np.asarray(p1.x)
+    orr = np.lexsort((xr[:, 2], xr[:, 1], xr[:, 0]))
+    dx_max = np.abs(x_f[of] - xr[orr]).max()
+    print(f"collider tap 3D: |dx|max={dx_max:.3e}", flush=True)
+    return dx_max < 1e-6, float(dx_max)
+
+
+def collider_stability_2d(n_total=400):
+    """A few hundred substeps of dam2d_obstacle on the fast path, on
+    chip: finite, bounded |v|, zero overflow (VERDICT item 6's
+    'run dam2d_obstacle on chip' leg, sized for a short window)."""
+    # dt scales with the grid: the G=65 bench-small config runs 1e-5;
+    # G=129 halves dx, so stay at 5e-6 (1e-4 exploded within 100
+    # substeps on the CPU smoke — CFL, not a kernel bug).
+    cfg = MPMConfig(
+        dtype="float32", num_grids=129, dt=5e-6,
+        num_particles_x=128, num_particles_y=256,
+        fluid_width=0.105, fluid_height=0.21,
+        flip_blend=0.98, transfer=TransferKind.PIC,
+    )
+    p, scene = scenes.dam_break_obstacle_2d(
+        cfg, dtype=np.float32, center_frac=(0.35, 0.10))
+    spec = fast2d.FastSpec.for_particles(cfg, p, headroom=2.0)
+    b = fast2d.from_particles(p, cfg, spec)
+    ok = True
+    vmax = 0.0
+    for done in range(100, n_total + 1, 100):
+        b = fast2d.run(b, scene, spec, 100, t0=jnp.float32((done - 100) * cfg.dt))
+        h = fast2d.to_host(b)
+        fin = bool(np.isfinite(h["x0"]).all() and np.isfinite(h["v0"]).all())
+        vmax = max(np.abs(h[k]).max() for k in ("v0", "v1"))
+        ovf = int(np.asarray(b.overflow))
+        print(
+            f"obstacle2d substep {done}: finite={fin} |v|max={vmax:.4g} "
+            f"overflow={ovf}", flush=True,
+        )
+        if not fin or ovf != 0 or vmax > 10.0:
+            ok = False
+            break
+    return ok, float(vmax)
+
+
 def tap_3d():
     """3D fused single-fluid path (p2g3d_grid rolling-scratch kernel) vs
     the general XLA stabilized path, one substep on the real backend."""
@@ -228,14 +333,21 @@ def main():
     ok1, pou = pou_probe()
     ok6, crop = crop_probe()
     ok2, tap = tap_2d()
+    ok7, ctap = collider_tap_2d()
+    ok8, ctap3 = collider_tap_3d()
     ok4, tap3 = tap_3d()
+    ok9, cvmax = collider_stability_2d()
     ok5, vmaxf = stability_3d_fluid()
     ok3, vmax = stability_3d()
     print(
         f"RESULT mode={mode} pou_ok={ok1} crop_ok={ok6} tap_ok={ok2} "
+        f"collider2d_ok={ok7} collider3d_ok={ok8} collider_stable_ok={ok9} "
         f"tap3d_ok={ok4} fluid_stable_ok={ok5} stable_ok={ok3}", flush=True,
     )
-    sys.exit(0 if (ok1 and ok2 and ok3 and ok4 and ok5 and ok6) else 1)
+    sys.exit(
+        0 if (ok1 and ok2 and ok3 and ok4 and ok5 and ok6 and ok7 and ok8
+              and ok9) else 1
+    )
 
 
 if __name__ == "__main__":

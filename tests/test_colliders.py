@@ -12,6 +12,7 @@ single-device equality.
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mpm_flip98a_tpu.config import MPMConfig, TransferKind
@@ -130,7 +131,19 @@ def _sorted_xy(h):
     return x[np.lexsort((x[:, 1], x[:, 0]))]
 
 
-def test_collider_fast_matches_general_2d():
+@pytest.mark.parametrize("p2g_grid", ["0", "1"])
+def test_collider_fast_matches_general_2d(monkeypatch, request, p2g_grid):
+    # Both pipelines must apply the collider BC: "1" = in-kernel epilogue
+    # (transfer2d._p2g_grid_kernel), "0" = XLA _grid_update2d projection
+    # (the default since the r4 bench A/B flipped it).  The knob is read
+    # at TRACE time inside jitted run(), and the jit cache does not key
+    # on env — clear caches on entry and exit so neither this test nor
+    # its successors inherit a stale-knob trace.
+    import jax
+
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
+    monkeypatch.setenv("MPM_P2G_GRID", p2g_grid)
     p, scene, spec, b = _obstacle_setup()
     b1 = fast2d.substep(b, scene)
     p1 = substep_ref(p, scene)
