@@ -893,33 +893,45 @@ def run(
         and _col.any_moving(scene.colliders)
     )
 
-    if _os.environ.get("MPM_RUN_WHILE", "0") == "1":
-        # A/B structure (VERDICT r4 item 3): the measured bench substep
-        # runs ~0.9 ms/substep over the bare profiled substep, and the
-        # prime suspect is the per-iteration lax.cond carrying the full
-        # bucket state.  This variant hoists the cond out of the hot
-        # body: an inner while_loop advances while the margin check
-        # passes (the check is the loop predicate — same every-substep
-        # semantics, rebucket still happens BEFORE the first unsafe
-        # substep), and rebucket runs only at inner-loop exit.
+    if _os.environ.get("MPM_RUN_WHILE", "1") == "1":
+        # DEFAULT since round 5 (VERDICT r4 item 3): the fori+cond loop
+        # carries ~0.9 ms/substep over the bare substep — the
+        # per-iteration lax.cond on the full bucket state.  This
+        # structure hoists the cond out of the hot body: an inner
+        # while_loop advances while the margin check passes (the check
+        # is the loop predicate — same every-substep semantics, rebucket
+        # still happens BEFORE the first unsafe substep), and rebucket
+        # runs only at inner-loop exit.  Bit-exact vs fori+cond
+        # (tests/test_fast2d.py); measured on chip 2026-08-19
+        # (docs/measurements/r5_mega.log): 2D 3.018e9 vs 2.910e9, 3D
+        # 2.917e9 vs 2.775e9.  MPM_RUN_WHILE=0 re-selects fori+cond.
+        # The margin flag rides the CARRY: the body computes it on its
+        # own output (fusable with the particle update — same x reads),
+        # so the while predicate only reads a carried scalar.  A
+        # predicate that recomputes the check is a separate XLA
+        # computation between iterations and cannot fuse with the body.
+        # Semantics are unchanged: the flag is evaluated on exactly the
+        # same states as before, one loop-carry earlier — a substep
+        # never reads a state outside the margin band.
         def inner_cond(c):
-            j, s = c
-            return jnp.logical_and(
-                j < n_substeps, ~_needs_rebucket(s, scene.cfg)
-            )
+            j, s, flag = c
+            return jnp.logical_and(j < n_substeps, ~flag)
 
         def inner_body(c):
-            j, s = c
+            j, s, _ = c
             t = jnp.asarray(t0) + j * scene.cfg.dt if moving else None
-            return j + 1, substep(s, scene, t=t)
+            s = substep(s, scene, t=t)
+            return j + 1, s, _needs_rebucket(s, scene.cfg)
 
         def outer_cond(c):
-            j, _ = c
+            j, _, _ = c
             return j < n_substeps
 
         def outer_body(c):
-            j, s = c
-            j, s = jax.lax.while_loop(inner_cond, inner_body, (j, s))
+            j, s, flag = c
+            j, s, flag = jax.lax.while_loop(
+                inner_cond, inner_body, (j, s, flag)
+            )
 
             def fix(q):
                 # Rebucket + one substep: guarantees outer-loop progress
@@ -928,13 +940,19 @@ def run(
                 # unconditionally after its cond).
                 q = rebucket(q, scene.cfg, spec)
                 t = jnp.asarray(t0) + j * scene.cfg.dt if moving else None
-                return substep(q, scene, t=t)
+                q = substep(q, scene, t=t)
+                return q, _needs_rebucket(q, scene.cfg)
 
-            s = jax.lax.cond(j < n_substeps, fix, lambda q: q, s)
+            s, flag = jax.lax.cond(
+                j < n_substeps, fix, lambda q: (q, flag), s
+            )
             j = jnp.minimum(j + 1, n_substeps)
-            return j, s
+            return j, s, flag
 
-        return jax.lax.while_loop(outer_cond, outer_body, (0, b))[1]
+        return jax.lax.while_loop(
+            outer_cond, outer_body,
+            (0, b, _needs_rebucket(b, scene.cfg)),
+        )[1]
 
     def body(i, st):
         st = jax.lax.cond(

@@ -19,6 +19,7 @@ in 3D.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Tuple
 
@@ -950,6 +951,52 @@ def run(
         and scene.colliders
         and _col.any_moving(scene.colliders)
     )
+
+    if _os.environ.get("MPM_RUN_WHILE", "1") == "1":
+        # DEFAULT since round 5 — same structure as fast2d.run: margin
+        # check as the inner while predicate, rebucket cond hoisted out
+        # of the hot body; identical substep/rebucket sequence
+        # (bit-exact — tests/test_fast3d.py pins it).  Measured on chip
+        # 2026-08-19: 3D full 2.917e9 vs 2.775e9 fori+cond
+        # (docs/measurements/r5_mega.log).  MPM_RUN_WHILE=0 = fori A/B.
+        # Carry-flag structure (see fast2d.run): the margin check fuses
+        # into the body's particle update; the predicate reads a scalar.
+        def inner_cond(c):
+            j, s, flag = c
+            return jnp.logical_and(j < n_substeps, ~flag)
+
+        def inner_body(c):
+            j, s, _ = c
+            t = jnp.asarray(t0) + j * scene.cfg.dt if moving else None
+            s = substep(s, scene, spec, t=t)
+            return j + 1, s, _needs_rebucket(s, scene.cfg, spec)
+
+        def outer_cond(c):
+            j, _, _ = c
+            return j < n_substeps
+
+        def outer_body(c):
+            j, s, flag = c
+            j, s, flag = jax.lax.while_loop(
+                inner_cond, inner_body, (j, s, flag)
+            )
+
+            def fix(q):
+                q = rebucket(q, scene.cfg, spec)
+                t = jnp.asarray(t0) + j * scene.cfg.dt if moving else None
+                q = substep(q, scene, spec, t=t)
+                return q, _needs_rebucket(q, scene.cfg, spec)
+
+            s, flag = jax.lax.cond(
+                j < n_substeps, fix, lambda q: (q, flag), s
+            )
+            j = jnp.minimum(j + 1, n_substeps)
+            return j, s, flag
+
+        return jax.lax.while_loop(
+            outer_cond, outer_body,
+            (0, b, _needs_rebucket(b, scene.cfg, spec)),
+        )[1]
 
     def body(i, st):
         st = jax.lax.cond(

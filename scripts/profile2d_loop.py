@@ -114,6 +114,31 @@ def main():
     print(f"full substep: {t_sub*1e3:7.3f} ms -> {p.n * 18 / t_sub / 1e9:.3f} e9",
           flush=True)
 
+    # Run-loop overhead line items (VERDICT r4 item 3: the bench substep
+    # carries ~0.9 ms over the bare substep; split check vs cond vs
+    # loop structure — scripts/ab_run_cond.py gives the leg-level view,
+    # these give the stage-level one).
+    t_chk = timeit_loop(
+        lambda x0: fast2d._needs_rebucket(
+            fast2d.FluidBuckets(**{**{f.name: getattr(b, f.name) for f in
+                                      __import__("dataclasses").fields(b)},
+                                   "x0": x0}), cfg),
+        b.x0, reps=REPS)
+    print(f"needs_rebucket check: {t_chk*1e3:7.3f} ms", flush=True)
+
+    def sub_plus_check(x0):
+        st = fast2d.FluidBuckets(**{**{f.name: getattr(b, f.name) for f in
+                                       __import__("dataclasses").fields(b)},
+                                    "x0": x0})
+        flag = fast2d._needs_rebucket(st, cfg).astype(jnp.int32)
+        st = __import__("dataclasses").replace(
+            st, overflow=st.overflow + jnp.minimum(flag, 0))
+        return fast2d.substep(st, scene)
+
+    t_sc = timeit_loop(sub_plus_check, b.x0, reps=REPS)
+    print(f"substep+check: {t_sc*1e3:7.3f} ms (check adds "
+          f"{(t_sc - t_sub)*1e3:+.3f})", flush=True)
+
 
 if __name__ == "__main__":
     main()

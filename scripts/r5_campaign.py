@@ -78,44 +78,21 @@ B2 = {"BENCH_2D_ONLY": "1", "BENCH_GATE_S": "300"}
 B3 = {"BENCH_3D": "1", "BENCH_GATE_S": "300"}
 
 # (name, env, argv, budget_s, kind) — kind: "bench" | ("rc", expect)
+#
+# ONE leg per tunnel window is the planning unit: measured 2026-08-19,
+# the first client of a window claims fine and every shortly-following
+# client tends to hang at claim (even after a clean predecessor exit,
+# even after a trivial probe).  So the first leg is the ONE-CLIENT mega
+# sweep (scripts/mega_measure.py): a single claim that measures every
+# bench knob config, the validation protocol, the run-loop A/B, the
+# profiles, and the bf16 gate, with per-stage resume state of its own.
+# The CLI legs stay separate processes (they ARE the CLI surface) and
+# each one may need its own window.
 LEGS = [
-    # headline driver-format artifacts first
-    ("2d_default", B2, ["python", "bench.py"], 900, "bench"),
-    ("3d_full", B3, ["python", "bench.py"], 2700, "bench"),
-    # on-chip validation of the round-4 TPU-unvalidated kernels
-    ("validate", PYPATH, ["python", "scripts/validate_dots.py"], 2400,
-     ("rc", "RESULT")),
-    # 2D knob adjudication (fused x crop matrix + run-loop structure)
-    ("2d_fused", {**B2, "MPM_P2G_GRID": "1"}, ["python", "bench.py"], 900,
-     "bench"),
-    ("2d_runwhile", {**B2, "MPM_RUN_WHILE": "1"}, ["python", "bench.py"],
-     900, "bench"),
-    ("2d_uncropped", {**B2, "MPM_GCROP": "0"}, ["python", "bench.py"], 900,
-     "bench"),
-    ("2d_fused_uncropped", {**B2, "MPM_P2G_GRID": "1", "MPM_GCROP": "0"},
-     ["python", "bench.py"], 900, "bench"),
-    # 3D A/B + small scale
-    ("3d_kc1024", {**B3, "MPM_KC3D": "1024"}, ["python", "bench.py"], 2700,
-     "bench"),
-    ("3d_small", {**B3, "BENCH_3D_SMALL": "1"}, ["python", "bench.py"],
-     1200, "bench"),
-    # gap analysis + profiles
-    ("ab_run_cond", PYPATH, ["python", "scripts/ab_run_cond.py"], 1500,
-     ("rc", "D while")),
-    ("profile2d", PYPATH, ["python", "scripts/profile2d_loop.py"], 900,
-     ("rc", "full substep")),
-    ("profile3d", {**PYPATH, "BENCH_3D_SMALL": "1"},
-     ["python", "scripts/profile3d_loop.py"], 1500, ("rc", "full substep")),
-    # lever gate
-    ("bf16_gate", PYPATH, ["python", "scripts/micro_bf16_vpu.py"], 900,
-     ("rc", None)),
-    # remaining 2D knob legs
-    ("2d_fuse_g2p", {**B2, "MPM_FUSE2D_G2P": "1"}, ["python", "bench.py"],
-     900, "bench"),
-    ("2d_kc2048", {**B2, "MPM_KC2D": "2048"}, ["python", "bench.py"], 900,
-     "bench"),
-    ("2d_kc512", {**B2, "MPM_KC2D": "512"}, ["python", "bench.py"], 900,
-     "bench"),
+    ("mega", {**PYPATH, "BENCH_GATE_S": "300"},
+     ["python", "scripts/mega_measure.py"], 10800, ("rc", "MEGA DONE")),
+    # one clean driver-format artifact on default knobs
+    ("2d_bench_artifact", B2, ["python", "bench.py"], 900, "bench"),
     # end-to-end reference workload (also the CLI verify surface)
     ("endtoend_2d", {}, ["python", "-m", "mpm_flip98a_tpu", "--scenario",
      "dam2d", "--path", "fast", "--frames", "300", "--substeps", "10000",
@@ -136,6 +113,17 @@ LEGS = [
     ("cli_obstacle3d", {}, ["python", "-m", "mpm_flip98a_tpu", "--scenario",
      "dam3d_obstacle", "--path", "fast", "--frames", "2", "--substeps",
      "50", "--out", "/tmp/obst3d_r5", "--no-gif"], 1500, ("rc", "Run Time")),
+    # chunk-cap x while-loop combination (ROADMAP lever 15): kc2048 won
+    # under the fori loop (3.026e9 vs 2.910e9); if it replicates on the
+    # round-5 while-loop default, flip the MPM_KC2D default to 2048.
+    ("2d_kc2048_rw", {**B2, "MPM_KC2D": "2048"}, ["python", "bench.py"],
+     900, "bench"),
+    ("2d_kc4096_rw", {**B2, "MPM_KC2D": "4096"}, ["python", "bench.py"],
+     900, "bench"),
+    # one full default-knob driver-format artifact incl. detail.d3 +
+    # multichip — exactly what the driver will run at round end.
+    ("full_bench", {"BENCH_GATE_S": "300"}, ["python", "bench.py"], 3600,
+     "bench"),
 ]
 
 
@@ -196,7 +184,12 @@ def run_leg(name, env, argv, budget, kind) -> tuple[bool, str, bool]:
 
 def one_pass(st: dict) -> bool:
     """Run undone legs until two consecutive device failures.
-    Returns True if all legs are done."""
+    Returns True if all legs are done.
+
+    NO probe before legs: a probe client poisons the next client's
+    claim (measured: 16:19 probe OK -> bench 8 s later hung).  The mega
+    leg's in-process gate IS the liveness check — on a dead tunnel it
+    exits in BENCH_GATE_S with its state intact."""
     consec = 0
     for name, env, argv, budget, kind in LEGS:
         if name in st["done"]:
@@ -204,10 +197,6 @@ def one_pass(st: dict) -> bool:
         if consec >= 2:
             log("pass aborted: 2 consecutive device failures")
             return False
-        if not probe_alive():
-            log(f"probe DEAD before leg {name}; pass ends")
-            return False
-        time.sleep(8)  # teardown hygiene between clients
         ok, summary, dev_fail = run_leg(name, env, argv, budget, kind)
         if ok:
             st["done"][name] = {"ts": _now(), "summary": summary}
@@ -215,7 +204,9 @@ def one_pass(st: dict) -> bool:
             consec = 0
         elif dev_fail:
             consec += 1
-        time.sleep(8)
+        # Inter-client cooldown: freshly-exited clients (clean OR
+        # killed) leave the tunnel claim-hostile for a while.
+        time.sleep(45)
     return all(n in st["done"] for n, *_ in LEGS)
 
 
@@ -236,10 +227,9 @@ def main():
         if all(n in st["done"] for n, *_ in LEGS):
             log("ALL LEGS DONE")
             return
-        if probe_alive():
-            one_pass(st)
-        else:
-            log("probe DEAD; sleeping")
+        # No pre-pass probe (it poisons the first real client's claim);
+        # the mega leg's own gate bounds a dead-tunnel attempt.
+        one_pass(st)
         time.sleep(PROBE_PERIOD)
 
 

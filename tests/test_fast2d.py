@@ -274,3 +274,44 @@ def test_tent_kernel_matches_stabilized():
     (x_f, v_f), (x_r, v_r) = _dense_xy(b50), _ref_xy(p50)
     np.testing.assert_allclose(x_f, x_r, atol=1e-5)
     assert int(b50.overflow) == 0
+
+
+def test_run_while_variant_bit_matches_fori(monkeypatch, request):
+    """MPM_RUN_WHILE=1 (while_loop structure, rebucket cond hoisted out
+    of the hot body) must execute the identical substep/rebucket
+    sequence as the default fori+cond loop — bit-exact, including across
+    a window long enough to trigger at least one rebucket, and with a
+    kinematic collider exercising the t threading.  The knob is read at
+    trace time inside jitted run(): clear caches around both traces."""
+    import os
+
+    import jax
+    import pytest
+
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
+
+    p, scene, spec, b = _setup()
+    monkeypatch.setenv("MPM_RUN_WHILE", "0")  # fori+cond baseline
+    b_fori = fast2d.run(b, scene, spec, 300)
+
+    monkeypatch.setenv("MPM_RUN_WHILE", "1")
+    jax.clear_caches()
+    b_while = fast2d.run(b, scene, spec, 300)
+
+    hf, hw = fast2d.to_host(b_fori), fast2d.to_host(b_while)
+    for k in ("x0", "x1", "v0", "v1", "J", "mass"):
+        np.testing.assert_array_equal(hf[k], hw[k], err_msg=k)
+    assert int(b_while.overflow) == 0
+
+    # Kinematic collider: t must advance identically in both loops.
+    pk, scenek = scenes.plow_2d(FAST, dtype=np.float32)
+    speck = fast2d.FastSpec.for_particles(FAST, pk, headroom=2.0)
+    bk = fast2d.from_particles(pk, FAST, speck)
+    bw = fast2d.run(bk, scenek, speck, 60, t0=jnp.float32(0.0))
+    monkeypatch.setenv("MPM_RUN_WHILE", "0")
+    jax.clear_caches()
+    bf = fast2d.run(bk, scenek, speck, 60, t0=jnp.float32(0.0))
+    hf, hw = fast2d.to_host(bf), fast2d.to_host(bw)
+    for k in ("x0", "x1", "v0", "v1"):
+        np.testing.assert_array_equal(hf[k], hw[k], err_msg=k)

@@ -176,3 +176,26 @@ def test_tent_kernel_matches_stabilized():
         _sorted(_dense(b1)), _sorted(np.asarray(p1.x)), atol=1e-6
     )
     assert int(b1.overflow) == 0
+
+
+def test_run_while_variant_bit_matches_fori_3d(monkeypatch, request):
+    """3D twin of tests/test_fast2d.py::test_run_while_variant_bit_
+    matches_fori: MPM_RUN_WHILE=1 must execute the identical
+    substep/rebucket sequence as the fori+cond loop, bit-exact."""
+    import jax
+
+    jax.clear_caches()
+    request.addfinalizer(jax.clear_caches)
+
+    p, scene, spec, b = _setup()
+    monkeypatch.setenv("MPM_RUN_WHILE", "0")  # fori+cond baseline
+    b_fori = fast3d.run(b, scene, spec, 120)
+
+    monkeypatch.setenv("MPM_RUN_WHILE", "1")
+    jax.clear_caches()
+    b_while = fast3d.run(b, scene, spec, 120)
+
+    hf, hw = fast3d.to_host(b_fori), fast3d.to_host(b_while)
+    for k in ("x0", "x1", "x2", "v0", "v1", "v2", "J", "mass"):
+        np.testing.assert_array_equal(hf[k], hw[k], err_msg=k)
+    assert int(b_while.overflow) == 0
