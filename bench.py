@@ -407,10 +407,14 @@ def main():
         _result["metric"] = "particle_grid_transfer_ops_per_sec_per_chip_3d"
 
     if not _device_gate():
-        _result["detail"].setdefault("errors", {}).setdefault(
-            "device",
+        # main() owns the errors['device'] text (ADVICE r4: a wedge
+        # hard-exits inside the watchdog and never reaches here; the
+        # exception path records only detail.device_exc and returns
+        # False, so this write is live — the gate itself records
+        # nothing under errors).
+        _result["detail"].setdefault("errors", {})["device"] = (
             "device unreachable (backend tunnel outage; rerun "
-            "scripts/measure_all.sh when the chip is back)",
+            "scripts/r5_campaign.py when the chip is back)"
         )
         _emit()
         return
