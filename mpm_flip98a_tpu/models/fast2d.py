@@ -211,12 +211,18 @@ def from_particles(p: Particles, cfg: MPMConfig, spec: FastSpec) -> FluidBuckets
 
 
 def to_host(b: FluidBuckets) -> dict:
-    """Host-side dense view of active slots (diagnostics / IO)."""
-    mask = np.asarray(b.mask) > 0
-    out = {}
-    for name in ("x0", "x1", "v0", "v1", "J", "mass", "vol0", "mat", "Jp"):
-        out[name] = np.asarray(getattr(b, name))[mask]
-    return out
+    """Host-side dense view of active slots (diagnostics / IO).
+
+    One gathered `jax.device_get` instead of per-array `np.asarray`:
+    on the remote (axon) backend every blocking fetch pays a ~30 ms
+    round trip, so 10 sequential pulls cost ~330 ms/frame — measured as
+    349 ms/call of driver post_process in the round-5 end-to-end run
+    (docs/measurements/r5_campaign.log).  device_get issues all copies
+    async before blocking, collapsing the latency to ~one round trip."""
+    names = ("x0", "x1", "v0", "v1", "J", "mass", "vol0", "mat", "Jp")
+    arrs = jax.device_get([b.mask] + [getattr(b, n) for n in names])
+    mask = arrs[0] > 0
+    return {n: a[mask] for n, a in zip(names, arrs[1:])}
 
 
 def _axis_bands2d(cfg: MPMConfig, nrows: int, ncols: int, row_index0=None):

@@ -278,16 +278,24 @@ def _p2g_core(
 
 
 def _chunk(k: int) -> int:
-    """Slot-axis chunk: caps the in-VMEM weight matrix at ~1024 x G, so
+    """Slot-axis chunk: caps the in-VMEM weight matrix at ~2048 x G, so
     the packed-count skip can trim partially-filled buckets at finer
     granularity.  K must divide evenly (FastSpec guarantees it).
 
-    MPM_KC2D overrides the 1024 cap for on-chip A/B probes (VERDICT r3
-    item 3: larger KC at G = 512 amortises the per-chunk fixed cost /
-    W-build against coarser count skipping; pick the winner from data)."""
-    cap = int(__import__("os").environ.get("MPM_KC2D", "1024"))
+    MPM_KC2D overrides the cap for on-chip A/B probes.  Default picked
+    from bench-harness data at 1M/513² on v5e-1 (2026-08-19,
+    docs/measurements/r5_campaign.log + r5_mega.log): under the
+    while-loop run() 2048 measured 5.578 ms/substep (3.227e9) vs 5.855
+    (3.074e9) at 1024; 4096 craters to 8.715 ms (2.065e9, VMEM spill)
+    and 512 to 7.048 ms — 2048 amortises the per-chunk fixed cost /
+    W-build best while the weight matrix still fits VMEM."""
+    cap = int(__import__("os").environ.get("MPM_KC2D", "2048"))
     nc = -(-k // cap)
-    while k % nc:  # keep divisibility for any cap override
+    # Chunks must divide K evenly AND stay lane-divisible (Mosaic
+    # requires block dims % 128; k = 2688 with cap 2048 would give
+    # 1344 — caught on chip 2026-08-19).  k is a multiple of 128, so
+    # nc = k // 128 always terminates the search.
+    while k % nc or (k // nc) % 128:
         nc += 1
     return k // nc
 
