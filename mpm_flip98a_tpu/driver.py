@@ -134,6 +134,7 @@ class Simulation:
         self._host_cache = None
         self.total_time = 0.0
         self.frame_count = 0
+        self._last_respec_frame = 0
         if self.devices > 1:
             # Multi-chip slab decomposition — the flagship scaling path
             # (parallel/fast_domain*.py), reachable from the user entry
@@ -297,6 +298,66 @@ class Simulation:
                 if keep_frame:
                     self.frames.append(img)
 
+    def _maybe_respec(self) -> None:
+        """Adaptive bucket-capacity re-spec (single-device fast path).
+
+        Per-row fast-path kernel work is proportional to bucket CAPACITY,
+        not occupancy, once a row holds any particle: as the dam collapse
+        spreads the reference workload from 14 dense rows (max 650/row ->
+        capacity 1024) to 100 sparse ones (max 368/row), the substep cost
+        rises 0.066 -> 0.241 ms while rebucket fires only ~1/10k substeps
+        (docs/measurements/r5_exp_aged_state.log).  Re-bucketing between
+        frames into a capacity sized from CURRENT occupancy recovered 27%
+        on the aged state (0.241 -> 0.175 ms/substep while-loop,
+        r5_exp_aged_kc.log) — better than any chunk-granularity knob, and
+        it shrinks state memory and rebucket cost too.
+
+        Occupancy comes free from the frame's cached host pull (the same
+        arrays post_process rendered — no extra device round trip).  Each
+        NEW capacity costs one jit recompile (cached for repeats);
+        hysteresis (shrink needs >= 2 lane tiles, >= 4 frames apart) keeps
+        respecs to a handful per run.  Capacity also GROWS when peak
+        occupancy nears the bucket size — the in-run rebucket drops
+        over-capacity particles into the overflow counter, so growing
+        early keeps that invariant-0.  Sized from a same-state snapshot
+        with >= 1.5 headroom, the respec rebucket itself cannot overflow.
+        MPM_ADAPT_CAP=0 disables (A/B knob)."""
+        if (
+            self.path != "fast"
+            or self.devices > 1
+            or os.environ.get("MPM_ADAPT_CAP", "1") == "0"
+            or self.frame_count - self._last_respec_frame < 4
+        ):
+            return
+        h = self._host_state()
+        g = self.cfg.num_grids
+        if self.cfg.dim == 3:
+            r0 = np.floor(
+                h["x0"] * self.cfg.inv_dx + fast3d.PAD - 0.5
+            ).astype(np.int64)
+            r1 = np.floor(
+                h["x1"] * self.cfg.inv_dx + fast3d.PAD - 0.5
+            ).astype(np.int64)
+            pair = np.clip(r0, 0, g - 1) * g + np.clip(r1, 0, g - 1)
+            mx = int(np.bincount(pair, minlength=g * g).max())
+            want = fast3d.capacity_for(mx)
+        else:
+            row = np.floor(
+                h["x0"] * self.cfg.inv_dx + fast2d.PAD - 0.5
+            ).astype(np.int64)
+            mx = int(np.bincount(np.clip(row, 0, g - 1), minlength=g).max())
+            want = fast2d.capacity_for(mx)
+        cap = self.spec.capacity
+        shrink = want <= cap - 256
+        grow = mx > 0.7 * cap and want > cap
+        if not (shrink or grow):
+            return
+        new_spec = dataclasses.replace(self.spec, capacity=want)
+        self.state = self._fast.rebucket(self.state, self.cfg, new_spec)
+        self.spec = new_spec
+        self._last_respec_frame = self.frame_count
+        self._host_cache = None  # layout changed (values are identical)
+
     def _submit_io(self, fn) -> None:
         import concurrent.futures as cf
 
@@ -364,6 +425,16 @@ class Simulation:
             meta = ckpt.load_meta(path)
         self.total_time = meta["total_time"]
         self.frame_count = meta["frame_count"]
+        if self.path == "fast" and self.devices == 1:
+            # A checkpoint written after an adaptive re-spec
+            # (_maybe_respec) carries a bucket capacity different from
+            # the fresh-scenario spec built in __init__ — re-derive the
+            # spec from the restored state's actual slot shape, or the
+            # first in-loop rebucket would change the while_loop carry
+            # shape and fail to trace.
+            k = self.state.x0.shape[-1]
+            if k != self.spec.capacity:
+                self.spec = dataclasses.replace(self.spec, capacity=k)
         self._host_cache = None  # restored state invalidates the frame cache
 
     def run(
@@ -391,6 +462,7 @@ class Simulation:
                     extra=f"{self.meter.substeps_per_sec:.0f} sub/s",
                 )
             self.post_process(keep_frame=gif)
+            self._maybe_respec()
             if checkpoint_every and self.frame_count % checkpoint_every == 0:
                 self.save_checkpoint(f"{self.frame_dir}/restart.npz")
         with self.timers.scope("post_process"):

@@ -98,15 +98,18 @@ class FastSpec:
         x = np.asarray(p.x)
         row = np.floor(x[:, 0] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
         occ = int(np.bincount(np.clip(row, 0, cfg.num_grids - 1), minlength=cfg.num_grids).max())
-        cap = -(-int(headroom * occ) // 128) * 128
-        cap = max(cap, 128)
-        if cap > 1024:
-            # Kernels split the slot axis into ceil(cap/1024) equal chunks
-            # (VMEM weight-matrix cap + finer count-skip) — capacity must
-            # divide evenly.
-            nc = -(-cap // 1024)
-            cap = -(-cap // (128 * nc)) * (128 * nc)
-        return FastSpec(rows=cfg.num_grids, capacity=cap)
+        return FastSpec(rows=cfg.num_grids, capacity=capacity_for(occ, headroom))
+
+
+def capacity_for(occ: int, headroom: float = 1.5) -> int:
+    """Bucket capacity for a peak per-row occupancy: headroom-padded,
+    128-multiple (Mosaic lane tile), and — above 1024 — rounded so the
+    kernels' equal slot-axis chunks (transfer2d._chunk) divide evenly."""
+    cap = max(128, -(-int(headroom * occ) // 128) * 128)
+    if cap > 1024:
+        nc = -(-cap // 1024)
+        cap = -(-cap // (128 * nc)) * (128 * nc)
+    return cap
 
 
 def kernel_cols(cfg: MPMConfig) -> int:

@@ -101,10 +101,14 @@ class FastSpec3D:
         r1 = np.floor(x[:, 1] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
         pair = np.clip(r0, 0, g - 1) * g + np.clip(r1, 0, g - 1)
         occ = int(np.bincount(pair, minlength=g * g).max())
-        # Kernels chunk the slot axis at 128 — a 128-multiple always
-        # divides into equal 128-slot chunks.
-        cap = max(128, -(-int(headroom * occ) // 128) * 128)
-        return FastSpec3D(rows0=g, rows1=g, capacity=cap)
+        return FastSpec3D(rows0=g, rows1=g, capacity=capacity_for(occ, headroom))
+
+
+def capacity_for(occ: int, headroom: float = 1.5) -> int:
+    """Pencil-bucket capacity for a peak occupancy: headroom-padded,
+    128-multiple — the 3D kernels chunk the slot axis at 128, which a
+    128-multiple always divides evenly."""
+    return max(128, -(-int(headroom * occ) // 128) * 128)
 
 
 def _field_list(b: FluidBuckets3D):

@@ -19,9 +19,17 @@ Implementation notes, all performance-measured on v5e:
 - ranks within a row come from one `cummax` scan over the sorted keys
   (`searchsorted` lowers to a 300+ ms binary-search loop — never use it in
   a hot path);
-- fields are moved with ONE scatter each by composing the sort permutation
-  into a source->slot map first (`take` (gather) costs ~2x a unique-index
-  scatter on TPU).
+- fields move as ONE stacked (S, n_fields) uint32 GATHER through the
+  inverse permutation, not per-field scatters: the ~1e8/s TPU
+  scatter/gather rate is per-INDEX, so 20 per-field moves pay the index
+  processing 20x.  Measured at 1M slots on v5e-1 (2026-08-19,
+  docs/measurements/r5_micro_rebucket.log): 20 scatters 142.7 ms, one
+  stacked (S, 20) scatter 122.5 ms, one stacked gather **41.5 ms**
+  (all incl. ~24 ms sync floor; bit-exact vs per-field).  The earlier
+  "take costs ~2x a unique scatter" lore holds per-FIELD — stacking
+  inverts it.  All bucket fields are 4-byte, so they stack losslessly
+  as uint32 bit patterns (bitcast_convert_type; moves copy bits, no
+  arithmetic).
 
 All shapes static: (R, K) slot arrays + validity mask; bucket overflow is
 counted, never silently dropped.
@@ -65,21 +73,38 @@ def bucket_by_row(
 
     ok = (key_sorted < big) & (rank < capacity)
     overflow = jnp.sum((key_sorted < big) & (rank >= capacity)).astype(jnp.int32)
-    slot = jnp.where(ok, key_sorted * capacity + rank, s)  # s -> dropped bin
+    nslots = num_rows * capacity
+    # Dropped/inactive positions get UNIQUE out-of-bounds indices
+    # (nslots + 1 + position): mode="drop" discards them and the
+    # unique_indices contract stays honest (a shared sentinel index
+    # would be a duplicate-write — UB under unique_indices=True).
+    slot = jnp.where(ok, key_sorted * capacity + rank, nslots + 1 + i)
 
-    # Compose permutation + destination into a source -> slot map so each
-    # field moves with a single unique-index scatter (no gathers).
-    slot_of_src = (
-        jnp.full((s,), s, jnp.int32).at[order].set(slot, unique_indices=True)
+    # Invert the (sorted position -> slot) assignment into slot -> source:
+    # one int32 scatter builds the map, then ALL fields + mask move in a
+    # single stacked (S, n_fields + 1) uint32 gather (see module notes —
+    # 20 per-field scatters cost ~3.4x this at 1M slots).  Unfilled slots
+    # keep index s, gathering the zero sentinel row: identical zero-fill
+    # (and mask=False) to the old per-field scatter.
+    src_of_slot = (
+        jnp.full((nslots,), s, jnp.int32)
+        .at[slot]
+        .set(order, mode="drop", unique_indices=True)
     )
 
-    def scatter_field(f):
-        out = jnp.zeros((num_rows * capacity + 1,), f.dtype)
-        out = out.at[slot_of_src].set(f, mode="drop", unique_indices=True)
-        return out[:-1].reshape(num_rows, capacity)
+    stk = jnp.stack(
+        [jax.lax.bitcast_convert_type(f, jnp.uint32) for f in fields]
+        + [active.astype(jnp.uint32)],
+        axis=-1,
+    )
+    stk = jnp.concatenate([stk, jnp.zeros((1, stk.shape[1]), jnp.uint32)])
+    moved = jnp.take(stk, src_of_slot, axis=0)  # (nslots, n_fields + 1)
 
-    bucketed = tuple(scatter_field(f) for f in fields)
-    mask = jnp.zeros((num_rows * capacity + 1,), jnp.bool_)
-    mask = mask.at[slot_of_src].set(active, mode="drop", unique_indices=True)
-    mask = mask[:-1].reshape(num_rows, capacity)
+    bucketed = tuple(
+        jax.lax.bitcast_convert_type(moved[:, k], f.dtype).reshape(
+            num_rows, capacity
+        )
+        for k, f in enumerate(fields)
+    )
+    mask = (moved[:, -1] > 0).reshape(num_rows, capacity)
     return bucketed, mask, overflow

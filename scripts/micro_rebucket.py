@@ -41,17 +41,16 @@ NF = 20
 
 
 def timed(f, *args, reps=3):
-    out = f(*args)
-    jax.tree_util.tree_map(
-        lambda a: float(jnp.sum(a.astype(jnp.float32))) if a.ndim else None,
-        out if isinstance(out, tuple) else (out,),
-    )
+    def sync(out):
+        # materialise one scalar from the first array leaf (pytree-safe)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+
+    sync(f(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        leaves = out if isinstance(out, tuple) else (out,)
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
+        sync(f(*args))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -163,9 +162,7 @@ def legs(tag, s, num_rows, capacity):
     print(f"[{tag}] stacked move bit-exact", flush=True)
 
 
-def prod_rebucket(tag, n_particles):
-    cfg = MPMConfig()
-    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+def prod_rebucket(tag, p, scene):
     spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=1.5)
     b = fast2d.from_particles(p, scene.cfg, spec)
     f = jax.jit(lambda st: fast2d.rebucket(st, scene.cfg, spec))
@@ -176,7 +173,13 @@ def prod_rebucket(tag, n_particles):
 def main():
     legs("1M", 1_000_000, 513, 2048)
     legs("54k", 53_760, 105, 512)
-    prod_rebucket("dam2d-8.5k", 8_450)
+    p, scene = scenes.dam_break_2d(MPMConfig(), dtype=np.float32)
+    prod_rebucket("dam2d-8.5k", p, scene)
+    sys.path.insert(0, ".")
+    from bench import build_workload  # the BASELINE 1M/513² workload
+
+    p, scene = build_workload(small=False)
+    prod_rebucket("bench-1M", p, scene)
     print("MICRO REBUCKET DONE", flush=True)
 
 

@@ -124,6 +124,35 @@ LEGS = [
     # multichip — exactly what the driver will run at round end.
     ("full_bench", {"BENCH_GATE_S": "300"}, ["python", "bench.py"], 3600,
      "bench"),
+    # ---- round-5b legs (after the gather-binning + adaptive-respec +
+    # gathered-to_host changes) ----
+    # quick CLI smoke: first on-chip execution of the stacked-gather
+    # bucket_by_row (from_particles + in-run rebuckets)
+    ("cli_2d_smoke_v2", {}, ["python", "-m", "mpm_flip98a_tpu",
+     "--scenario", "dam2d_flip98", "--path", "fast", "--frames", "2",
+     "--substeps", "100", "--out", "/tmp/v2d_r5b", "--no-gif"], 1500,
+     ("rc", "Run Time")),
+    # rebucket decomposition with the new move (argsort/rank/scat20/
+    # stack/take legs + production rebucket at 8.5k AND 1M)
+    ("micro_rebucket_v2", PYPATH,
+     ["python", "scripts/micro_rebucket.py"], 1800,
+     ("rc", "MICRO REBUCKET DONE")),
+    # the headline: end-to-end reference workload with all three fixes
+    # (gathered to_host, adaptive capacity respec, gather rebucket) —
+    # was 813.47 s; loop-tax data projects ~500 s
+    ("endtoend_2d_v2", {}, ["python", "-m", "mpm_flip98a_tpu",
+     "--scenario", "dam2d", "--path", "fast", "--frames", "300",
+     "--substeps", "10000", "--out", "/tmp/endtoend_r5c", "--no-gif"],
+     2400, ("rc", "Run Time")),
+    ("cli_3d_smoke_v2", {}, ["python", "-m", "mpm_flip98a_tpu",
+     "--scenario", "dam3d", "--path", "fast", "--frames", "2",
+     "--substeps", "20", "--out", "/tmp/v3d_r5b2", "--no-gif"], 1500,
+     ("rc", "Run Time")),
+    # confirm the default-knob bench artifact is unchanged-or-better on
+    # the new binning (bench's 200 substeps never rebucket, but
+    # from_particles now runs the gather path)
+    ("full_bench_v2", {"BENCH_GATE_S": "300"}, ["python", "bench.py"],
+     3600, "bench"),
 ]
 
 

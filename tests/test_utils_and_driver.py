@@ -98,3 +98,82 @@ def test_flip_sweep_scenarios():
     assert set(a.split("=")[1] for a in sweep) == {"0.0", "0.5", "0.95", "0.98", "1.0"}
     for name, (p, scene) in sweep.items():
         assert p.n == 8450
+
+
+def _fast_sim(tmp_path, capacity=None):
+    """dam2d fast-path sim; optionally force the bucket capacity (the test
+    config has peak row occupancy 128, so capacity_for -> 256)."""
+    cfg = dataclasses.replace(
+        FAST, dtype="float32", flip_blend=0.98, transfer=TransferKind.PIC
+    )
+    p, scene = scenes.dam_break_2d(cfg, dtype=np.float32)
+    sim = Simulation(p, scene, path="fast", out_dir=str(tmp_path))
+    if capacity is not None:
+        sim.spec = dataclasses.replace(sim.spec, capacity=capacity)
+        sim.state = fast2d.from_particles(p, cfg, sim.spec)
+        sim._host_cache = None
+    return sim
+
+
+def _particle_set(sim):
+    h = sim._host_state()
+    return sorted(zip(h["x0"].tolist(), h["x1"].tolist(), h["J"].tolist()))
+
+
+def test_adaptive_respec_shrink(tmp_path):
+    # Over-provisioned buckets (512 slots for peak occupancy 128) shrink
+    # to the occupancy-sized capacity with the particle set preserved
+    # bit-exactly and overflow untouched.
+    sim = _fast_sim(tmp_path, capacity=512)
+    sim.frame_count = 10  # past the 4-frame hysteresis
+    before = _particle_set(sim)
+    sim._maybe_respec()
+    assert sim.spec.capacity == 256
+    assert sim.state.x0.shape == (FAST.num_grids, 256)
+    assert int(np.asarray(sim.state.overflow)) == 0
+    assert _particle_set(sim) == before
+    # hysteresis: immediately after a respec nothing fires
+    sim._maybe_respec()
+    assert sim.spec.capacity == 256
+
+
+def test_adaptive_respec_grow(tmp_path):
+    # Peak occupancy 128 in 128-slot buckets (> 0.7 * capacity) grows the
+    # capacity before an in-run rebucket could overflow.
+    sim = _fast_sim(tmp_path, capacity=128)
+    sim.frame_count = 10
+    before = _particle_set(sim)
+    sim._maybe_respec()
+    assert sim.spec.capacity == 256
+    assert int(np.asarray(sim.state.overflow)) == 0
+    assert _particle_set(sim) == before
+
+
+def test_adaptive_respec_gates(tmp_path, monkeypatch):
+    # MPM_ADAPT_CAP=0 disables; the first frames never respec (hysteresis).
+    sim = _fast_sim(tmp_path, capacity=512)
+    sim.frame_count = 2
+    sim._maybe_respec()
+    assert sim.spec.capacity == 512  # too early
+    sim.frame_count = 10
+    monkeypatch.setenv("MPM_ADAPT_CAP", "0")
+    sim._maybe_respec()
+    assert sim.spec.capacity == 512  # knob off
+
+
+def test_respec_checkpoint_resume(tmp_path):
+    # A checkpoint written with a non-default bucket capacity restores
+    # with the spec re-derived from the state's slot shape (a fresh
+    # scenario spec would disagree and break the run-loop carry shape).
+    sim = _fast_sim(tmp_path, capacity=512)
+    sim.run(n_frames=1, substeps_per_frame=5, gif=False, verbose=False)
+    ck = str(tmp_path / "ck_respec.npz")
+    sim.save_checkpoint(ck)
+
+    sim2 = _fast_sim(tmp_path / "r")  # fresh spec: capacity 256
+    assert sim2.spec.capacity == 256
+    sim2.restore_checkpoint(ck)
+    assert sim2.spec.capacity == 512
+    np.testing.assert_array_equal(sim2.positions(), sim.positions())
+    sim2.run(n_frames=1, substeps_per_frame=5, gif=False, verbose=False)
+    assert np.isfinite(sim2.positions()).all()
