@@ -47,6 +47,7 @@ import numpy as np
 _KNOB_NAMES = (
     "MPM_DOT_MODE", "MPM_P2G_GRID", "MPM_FUSE2D", "MPM_FUSE2D_G2P",
     "MPM_KC2D", "MPM_KC3D", "MPM_GCROP", "MPM_RUN_WHILE",
+    "MPM_HEADROOM", "MPM_ADAPT_CAP",
 )
 
 # Partial artifact assembled as legs complete; the watchdog prints this on a
@@ -201,7 +202,10 @@ def main3d(n_sub: int):
     else:
         # Full BASELINE.json configs[3] scale: 8M particles, 256^3 grid.
         p, scene = scenes.slab_3d(num_grids=256, particles_per_axis=(512, 512, 32))
-    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=1.5)
+    # headroom=None -> MPM_HEADROOM env (default 1.5): capacity is a
+    # perf lever (dead slots above the last active chunk do full
+    # in-kernel work) and the A/B legs sweep it.
+    spec = fast3d.FastSpec3D.for_particles(scene.cfg, p, headroom=None)
     b = jax.jit(lambda q: fast3d.from_particles(q, scene.cfg, spec))(p)
     b = fast3d.run(b, scene, spec, n_sub)
     float(jnp.sum(b.x0))
@@ -351,7 +355,7 @@ def main2d(n_sub: int, small: bool) -> dict:
     n = p.n
     stencil = 3 ** scene.cfg.dim
 
-    spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=1.5)
+    spec = fast2d.FastSpec.for_particles(scene.cfg, p, headroom=None)  # MPM_HEADROOM-aware
     b = fast2d.from_particles(p, scene.cfg, spec)
 
     # Warmup + compile with the SAME static substep count (a different

@@ -315,18 +315,18 @@ class Simulation:
         Occupancy comes free from the frame's cached host pull (the same
         arrays post_process rendered — no extra device round trip).  Each
         NEW capacity costs one jit recompile (cached for repeats);
-        hysteresis (shrink needs >= 2 lane tiles, >= 4 frames apart) keeps
-        respecs to a handful per run.  Capacity also GROWS when peak
-        occupancy nears the bucket size — the in-run rebucket drops
-        over-capacity particles into the overflow counter, so growing
-        early keeps that invariant-0.  Sized from a same-state snapshot
-        with >= 1.5 headroom, the respec rebucket itself cannot overflow.
-        MPM_ADAPT_CAP=0 disables (A/B knob)."""
+        shrink hysteresis (>= 2 lane tiles, >= 4 frames apart) keeps
+        respecs to a handful per run.  Capacity GROWS with no hysteresis
+        the moment the occupancy-sized capacity exceeds the current one —
+        the in-run rebucket drops over-capacity particles into the
+        overflow counter, so growing early keeps that invariant-0.  Sized
+        from a same-state snapshot with headroom >= 1, the respec
+        rebucket itself cannot overflow.  MPM_ADAPT_CAP=0 disables;
+        MPM_HEADROOM sets the sizing headroom (default 1.5)."""
         if (
             self.path != "fast"
             or self.devices > 1
             or os.environ.get("MPM_ADAPT_CAP", "1") == "0"
-            or self.frame_count - self._last_respec_frame < 4
         ):
             return
         h = self._host_state()
@@ -348,9 +348,25 @@ class Simulation:
             mx = int(np.bincount(np.clip(row, 0, g - 1), minlength=g).max())
             want = fast2d.capacity_for(mx)
         cap = self.spec.capacity
-        shrink = want <= cap - 256
-        grow = mx > 0.7 * cap and want > cap
-        if not (shrink or grow):
+        # Each respec to a NEW capacity is a jit recompile — 25-60 s on a
+        # cold remote compile server (measured: the first endtoend run
+        # with naive thresholds thrashed 13 respecs = 656 s of spikes,
+        # frame-delta analysis of /tmp/endtoend_r5c).  The bands below
+        # leave a wide stable region: sizing uses the standard headroom
+        # (fill ~0.67 after a respec), GROW (overflow safety, no frame
+        # hysteresis) fires at fill ~0.87 (capacity_for at 1.15 headroom
+        # exceeds cap), SHRINK (perf, >= 4 frames apart) only for a
+        # >= 37.5% reduction — occupancy must move ~30% to leave the
+        # band, so a run settles into a handful of capacities.
+        if self.cfg.dim == 3:
+            grow = fast3d.capacity_for(mx, 1.15) > cap
+        else:
+            grow = fast2d.capacity_for(mx, 1.15) > cap
+        shrink = (
+            want <= int(cap * 0.625)
+            and self.frame_count - self._last_respec_frame >= 4
+        )
+        if not (shrink or grow) or want == cap:
             return
         new_spec = dataclasses.replace(self.spec, capacity=want)
         self.state = self._fast.rebucket(self.state, self.cfg, new_spec)

@@ -94,17 +94,28 @@ class FastSpec:
     capacity: int      # K slots per row (multiple of 128)
 
     @staticmethod
-    def for_particles(cfg: MPMConfig, p: Particles, headroom: float = 1.5) -> "FastSpec":
+    def for_particles(cfg: MPMConfig, p: Particles, headroom: float = None) -> "FastSpec":
         x = np.asarray(p.x)
         row = np.floor(x[:, 0] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
         occ = int(np.bincount(np.clip(row, 0, cfg.num_grids - 1), minlength=cfg.num_grids).max())
         return FastSpec(rows=cfg.num_grids, capacity=capacity_for(occ, headroom))
 
 
-def capacity_for(occ: int, headroom: float = 1.5) -> int:
+def capacity_for(occ: int, headroom: float = None) -> int:
     """Bucket capacity for a peak per-row occupancy: headroom-padded,
     128-multiple (Mosaic lane tile), and — above 1024 — rounded so the
-    kernels' equal slot-axis chunks (transfer2d._chunk) divide evenly."""
+    kernels' equal slot-axis chunks (transfer2d._chunk) divide evenly.
+
+    Headroom is a genuine perf lever, not just overflow safety: within
+    an active chunk the kernels do CAPACITY-proportional VPU work (the
+    count skip trims whole chunks only), so every headroom slot above
+    the last active chunk boundary is dead W-build.  At the bench
+    workload (1M/513², max/row 2500) headroom 1.5 gives cap 4096 = 39%
+    dead slots under kc2048.  MPM_HEADROOM overrides for on-chip A/B
+    (campaign legs 2d_h115/2d_h105); the adaptive respec
+    (driver._maybe_respec) re-sizes long runs with the same value."""
+    if headroom is None:
+        headroom = float(_os.environ.get("MPM_HEADROOM", "1.5"))
     cap = max(128, -(-int(headroom * occ) // 128) * 128)
     if cap > 1024:
         nc = -(-cap // 1024)

@@ -94,7 +94,7 @@ class FastSpec3D:
     capacity: int
 
     @staticmethod
-    def for_particles(cfg: MPMConfig, p: Particles, headroom: float = 1.5) -> "FastSpec3D":
+    def for_particles(cfg: MPMConfig, p: Particles, headroom: float = None) -> "FastSpec3D":
         g = cfg.num_grids
         x = np.asarray(p.x)
         r0 = np.floor(x[:, 0] * cfg.inv_dx + PAD - 0.5).astype(np.int64)
@@ -104,10 +104,14 @@ class FastSpec3D:
         return FastSpec3D(rows0=g, rows1=g, capacity=capacity_for(occ, headroom))
 
 
-def capacity_for(occ: int, headroom: float = 1.5) -> int:
+def capacity_for(occ: int, headroom: float = None) -> int:
     """Pencil-bucket capacity for a peak occupancy: headroom-padded,
     128-multiple — the 3D kernels chunk the slot axis at 128, which a
-    128-multiple always divides evenly."""
+    128-multiple always divides evenly.  MPM_HEADROOM overrides for
+    on-chip A/B (see fast2d.capacity_for: headroom slots above the
+    last active chunk boundary are dead in-kernel work)."""
+    if headroom is None:
+        headroom = float(_os.environ.get("MPM_HEADROOM", "1.5"))
     return max(128, -(-int(headroom * occ) // 128) * 128)
 
 

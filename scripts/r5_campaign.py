@@ -153,6 +153,23 @@ LEGS = [
     # from_particles now runs the gather path)
     ("full_bench_v2", {"BENCH_GATE_S": "300"}, ["python", "bench.py"],
      3600, "bench"),
+    # HEADROOM sweep (dead-slot lever): the bench workload peaks at
+    # 2500/row -> cap 4096 at headroom 1.5, and BOTH kc2048 chunks run
+    # at count 2500, so 39% of in-kernel slot work is dead.  Fitting
+    # per-chunk fixed cost f=1.41 us and per-slot w=0.83 ns from the
+    # committed kc512/1024/2048 A/B triple predicts cap 3072 (h=1.15)
+    # at ~5.15 ms/substep = 3.49e9 and cap 2688 (h=1.05, 3 chunks)
+    # WORSE than cap 3072 — sweep confirms or kills the model.
+    ("2d_h115", {**B2, "MPM_HEADROOM": "1.15"}, ["python", "bench.py"],
+     900, "bench"),
+    ("2d_h130", {**B2, "MPM_HEADROOM": "1.30"}, ["python", "bench.py"],
+     900, "bench"),
+    ("2d_h105", {**B2, "MPM_HEADROOM": "1.05"}, ["python", "bench.py"],
+     900, "bench"),
+    # 3D headroom probe at full scale (pencil buckets, 128-chunks skip
+    # finer so the dead-slot fraction is smaller — measure, don't guess)
+    ("3d_h115", {**B3, "MPM_HEADROOM": "1.15"}, ["python", "bench.py"],
+     1800, "bench"),
 ]
 
 

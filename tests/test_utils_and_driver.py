@@ -138,10 +138,11 @@ def test_adaptive_respec_shrink(tmp_path):
 
 
 def test_adaptive_respec_grow(tmp_path):
-    # Peak occupancy 128 in 128-slot buckets (> 0.7 * capacity) grows the
-    # capacity before an in-run rebucket could overflow.
+    # Peak occupancy 128 in 128-slot buckets grows the capacity before an
+    # in-run rebucket could overflow — with NO frame hysteresis (growth
+    # is overflow safety, not an optimisation).
     sim = _fast_sim(tmp_path, capacity=128)
-    sim.frame_count = 10
+    assert sim.frame_count == 0
     before = _particle_set(sim)
     sim._maybe_respec()
     assert sim.spec.capacity == 256
